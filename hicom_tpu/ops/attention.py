@@ -1,0 +1,98 @@
+"""Core scaled-dot-product attention with float32 softmax.
+
+The reference upcasts attention probabilities to fp32 before softmax
+(``/root/reference/hicom/model/projector.py:213``); we keep the whole
+logits→softmax→weighted-sum contraction in fp32 and cast back, which is also
+the numerically safe choice on TPU (bf16 inputs, fp32 MXU accumulation).
+
+``sdpa`` is the single entry point; ``implementation`` selects between the
+XLA einsum path (always available; XLA fuses it well for short sequences) and
+the Pallas flash kernel (``hicom_tpu.ops.flash_attention``) for long sequences
+on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+
+def sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: Optional[Union[float, jnp.ndarray]] = None,
+    logit_bias: Union[float, jnp.ndarray] = 0.0,
+    mask: Optional[jnp.ndarray] = None,
+    is_causal: bool = False,
+    implementation: str = "auto",
+) -> jnp.ndarray:
+    """Attention over the last two axes: q (..., Q, d), k/v (..., K, d).
+
+    * ``scale``: logits multiplier; default ``1/sqrt(d)``.
+    * ``logit_bias``: additive term applied to all logits (SigLIP logit_bias).
+    * ``mask``: boolean (..., Q, K); True = attend.
+    * fp32 softmax regardless of input dtype; output in q.dtype.
+    """
+    if implementation == "flash":
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale, logit_bias=logit_bias, mask=mask, is_causal=is_causal)
+
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+    logits = jnp.einsum("...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale + logit_bias
+    if is_causal:
+        qlen, klen = logits.shape[-2], logits.shape[-1]
+        causal = jnp.tril(jnp.ones((qlen, klen), dtype=bool), k=klen - qlen)
+        logits = jnp.where(causal, logits, -jnp.inf)
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("...qk,...kd->...qd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """(..., L, H*d) -> (..., H, L, d)"""
+    *lead, L, D = x.shape
+    x = x.reshape(*lead, L, num_heads, D // num_heads)
+    return jnp.moveaxis(x, -2, -3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, L, d) -> (..., L, H*d)"""
+    x = jnp.moveaxis(x, -3, -2)
+    *lead, L, H, d = x.shape
+    return x.reshape(*lead, L, H * d)
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    *,
+    scale: Optional[Union[float, jnp.ndarray]] = None,
+    logit_bias: Union[float, jnp.ndarray] = 0.0,
+    mask: Optional[jnp.ndarray] = None,
+    is_causal: bool = False,
+    implementation: str = "auto",
+) -> jnp.ndarray:
+    """MHA over already-projected q/k/v of shape (..., L, H*d).
+
+    ``mask`` is (..., Q, K) and broadcast over heads.
+    """
+    qh, kh, vh = split_heads(q, num_heads), split_heads(k, num_heads), split_heads(v, num_heads)
+    if mask is not None:
+        mask = mask[..., None, :, :]
+    out = sdpa(
+        qh, kh, vh, scale=scale, logit_bias=logit_bias, mask=mask,
+        is_causal=is_causal, implementation=implementation,
+    )
+    return merge_heads(out)
