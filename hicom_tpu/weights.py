@@ -1,0 +1,174 @@
+"""Checkpoint import: torch/HF state dicts → flax parameter pytrees.
+
+Handles the reference's four checkpoint layouts
+(``/root/reference/hicom/model/__init__.py:42-193``): full SFT checkpoints
+(safetensors shards), base-LLM + ``mm_projector.bin`` pretrain artifacts, and
+the SigLIP / CLIP / Qwen2 tower weights. Conversion is name-driven: our flax
+module paths mirror the torch module tree, so mapping is mechanical
+(Linear weight transposed to a Dense kernel; LayerNorm weight→scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Callable, Dict, Iterable, Mapping, Optional
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------- #
+# Low-level loading
+# --------------------------------------------------------------------------- #
+
+
+def load_torch_bin(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch .bin/.pt state dict to numpy (CPU, no grad)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.to(torch.float32).numpy() if v.dtype.is_floating_point else v.numpy() for k, v in sd.items()}
+
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    from safetensors.numpy import load_file
+
+    try:
+        return load_file(path)
+    except Exception:
+        # bf16 tensors can't always round-trip through numpy loader; use torch.
+        from safetensors.torch import load_file as load_torch
+
+        import torch
+
+        sd = load_torch(path)
+        return {k: v.to(torch.float32).numpy() for k, v in sd.items()}
+
+
+def load_hf_state_dict(model_path: str) -> Dict[str, np.ndarray]:
+    """Load all weights of an HF checkpoint directory (sharded or single)."""
+    index_path = os.path.join(model_path, "model.safetensors.index.json")
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            index = json.load(f)
+        shards = sorted(set(index["weight_map"].values()))
+        out: Dict[str, np.ndarray] = {}
+        for shard in shards:
+            out.update(load_safetensors(os.path.join(model_path, shard)))
+        return out
+    single = os.path.join(model_path, "model.safetensors")
+    if os.path.exists(single):
+        return load_safetensors(single)
+    bin_index = os.path.join(model_path, "pytorch_model.bin.index.json")
+    if os.path.exists(bin_index):
+        with open(bin_index) as f:
+            index = json.load(f)
+        out = {}
+        for shard in sorted(set(index["weight_map"].values())):
+            out.update(load_torch_bin(os.path.join(model_path, shard)))
+        return out
+    single_bin = os.path.join(model_path, "pytorch_model.bin")
+    if os.path.exists(single_bin):
+        return load_torch_bin(single_bin)
+    raise FileNotFoundError(f"no weights found under {model_path}")
+
+
+# --------------------------------------------------------------------------- #
+# Generic torch-module-tree → flax-params conversion
+# --------------------------------------------------------------------------- #
+
+
+def _set_path(tree: dict, path: Iterable[str], value) -> None:
+    keys = list(path)
+    node = tree
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = value
+
+
+def torch_to_flax_params(
+    state_dict: Mapping[str, np.ndarray],
+    rename: Optional[Callable[[str], Optional[str]]] = None,
+) -> dict:
+    """Convert a torch state dict into a nested flax params dict.
+
+    Rules: ``*.weight`` 2-D → ``kernel`` (transposed), 1-D → ``scale``;
+    ``*.bias`` → ``bias``; everything else keeps its leaf name. ``rename``
+    may rewrite a full torch key first (return None to drop the entry).
+    """
+    params: dict = {}
+    for key, value in state_dict.items():
+        if rename is not None:
+            key = rename(key)
+            if key is None:
+                continue
+        parts = key.split(".")
+        leaf = parts[-1]
+        if leaf == "weight":
+            if value.ndim == 2:
+                _set_path(params, parts[:-1] + ["kernel"], np.ascontiguousarray(value.T))
+            elif value.ndim == 4:
+                # conv2d OIHW -> flax HWIO
+                _set_path(params, parts[:-1] + ["kernel"], np.ascontiguousarray(value.transpose(2, 3, 1, 0)))
+            elif value.ndim == 1:
+                _set_path(params, parts[:-1] + ["scale"], value)
+            else:
+                _set_path(params, parts[:-1] + ["weight"], value)
+        elif leaf == "bias":
+            _set_path(params, parts[:-1] + ["bias"], value)
+        else:
+            _set_path(params, parts, value)
+    return params
+
+
+def assert_tree_match(expected: Any, got: Any, path: str = "") -> None:
+    """Assert two param trees have identical structure and leaf shapes."""
+    import jax
+
+    exp_flat = jax.tree_util.tree_flatten_with_path(expected)[0]
+    got_flat = jax.tree_util.tree_flatten_with_path(got)[0]
+    exp_keys = {jax.tree_util.keystr(k): v.shape for k, v in exp_flat}
+    got_keys = {jax.tree_util.keystr(k): v.shape for k, v in got_flat}
+    missing = sorted(set(exp_keys) - set(got_keys))
+    extra = sorted(set(got_keys) - set(exp_keys))
+    if missing or extra:
+        raise ValueError(f"param tree mismatch{path}: missing={missing[:10]} extra={extra[:10]}")
+    for k in exp_keys:
+        if exp_keys[k] != got_keys[k]:
+            raise ValueError(f"shape mismatch at {k}: expected {exp_keys[k]}, got {got_keys[k]}")
+
+
+# --------------------------------------------------------------------------- #
+# Projector weights (mm_projector.bin or prefixed SFT keys)
+# --------------------------------------------------------------------------- #
+
+
+def convert_projector_state(state_dict: Mapping[str, np.ndarray], projector_kind: str = "hicom") -> dict:
+    """Convert projector weights. Accepts keys with or without the
+    ``model.mm_projector.`` / ``mm_projector.`` prefix."""
+
+    def rename(key: str) -> Optional[str]:
+        for prefix in ("model.mm_projector.", "mm_projector."):
+            if key.startswith(prefix):
+                key = key[len(prefix):]
+                break
+        else:
+            if "mm_projector" in key:  # defensive: unexpected nesting
+                key = key.split("mm_projector.")[-1]
+            else:
+                return None
+        if projector_kind in ("mlp", "linear") and re.match(r"^\d+\.", key):
+            key = "layers." + key  # Sequential lives under MeanPoolProjector."layers"
+        return key
+
+    filtered = {k: v for k, v in state_dict.items() if "mm_projector" in k}
+    if not filtered:  # already stripped keys (e.g. raw mm_projector.bin without prefix)
+        filtered = dict(state_dict)
+
+        def rename(key: str) -> Optional[str]:  # noqa: F811
+            if projector_kind in ("mlp", "linear") and re.match(r"^\d+\.", key):
+                return "layers." + key
+            return key
+
+    return torch_to_flax_params(filtered, rename)
