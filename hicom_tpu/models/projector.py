@@ -95,7 +95,7 @@ class GuideInjector(nn.Module):
             query = visual[None]  # (1, n, d)
             guide_b = guide[None]
         guide_b = self._project_guide(guide_b)
-        attn = MultiheadAttention(self.qk_dim, self.qk_dim // 128, dtype=self.dtype, name="fine_proj")(
+        attn = MultiheadAttention(self.qk_dim, max(1, self.qk_dim // 128), dtype=self.dtype, name="fine_proj")(
             query, guide_b, guide_b
         )
         out = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="fine_norm")(query + attn)
@@ -228,7 +228,7 @@ class GlobalCompressor(nn.Module):
             )(query, guide_embed)
 
         kv = frames_feature.reshape(1, t * h * w, d)
-        x = MultiheadAttention(self.embed_dim, self.embed_dim // 128, dtype=self.dtype, name="attn_layer")(
+        x = MultiheadAttention(self.embed_dim, max(1, self.embed_dim // 128), dtype=self.dtype, name="attn_layer")(
             query[None], kv, kv, logit_scale=logit_scale, logit_bias=logit_bias
         )
         return TorchMLP(self.output_hidden_size, self.mlp_depth, dtype=self.dtype, name="readout")(query + x[0])

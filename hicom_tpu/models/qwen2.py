@@ -1,0 +1,234 @@
+"""Qwen2/2.5 decoder in flax with a static-shape KV cache.
+
+Architecture per HF ``Qwen2ForCausalLM`` (the reference wraps it at
+``/root/reference/hicom/model/hicom_qwen2.py``): RMSNorm pre-norm blocks, GQA
+attention with QKV bias, NeoX-style rotary embeddings (theta 1e6), SwiGLU MLP.
+The same module tree serves Llama (no QKV bias, theta 1e4) via config.
+
+TPU-first choices: a preallocated (max_len) KV cache updated with
+``dynamic_update_slice`` (static shapes under jit), positions passed explicitly
+so prefill/decode are the same traced function, fp32 softmax/RMSNorm with bf16
+matmuls on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import sdpa
+
+Array = jnp.ndarray
+
+
+class KVCache(NamedTuple):
+    """Per-layer stacked cache: k/v are (num_layers, b, kv_heads, max_len, head_dim)."""
+
+    k: Array
+    v: Array
+    length: Array  # (b,) int32 — number of valid positions per sample
+
+    @classmethod
+    def zeros(cls, num_layers, batch, kv_heads, max_len, head_dim, dtype):
+        shape = (num_layers, batch, kv_heads, max_len, head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((batch,), jnp.int32))
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        xf = x.astype(jnp.float32)
+        xf = xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + self.eps)
+        return (xf * scale).astype(x.dtype)
+
+
+def rotary_tables(positions: Array, head_dim: int, theta: float, dtype) -> Tuple[Array, Array]:
+    """cos/sin of shape (b, L, head_dim) for NeoX-style rotation."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # (b, L, d/2)
+    emb = jnp.concatenate([angles, angles], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def apply_rotary(x: Array, cos: Array, sin: Array) -> Array:
+    """x: (b, H, L, d); cos/sin: (b, L, d)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos[:, None] + rotated * sin[:, None]
+
+
+class DecoderAttention(nn.Module):
+    hidden_size: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    rope_theta: float
+    attention_bias: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,  # (b, L, D)
+        positions: Array,  # (b, L)
+        cache_kv: Optional[Tuple[Array, Array]] = None,  # (b, KVH, S, d) each
+        cache_length: Optional[Array] = None,  # (b,)
+        padding_mask: Optional[Array] = None,  # (b, L) bool; True = real token
+    ):
+        b, L, _ = x.shape
+        H, KVH, hd = self.num_heads, self.num_kv_heads, self.head_dim
+        q = nn.Dense(H * hd, use_bias=self.attention_bias, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(KVH * hd, use_bias=self.attention_bias, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(KVH * hd, use_bias=self.attention_bias, dtype=self.dtype, name="v_proj")(x)
+        q = q.reshape(b, L, H, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, L, KVH, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, L, KVH, hd).transpose(0, 2, 1, 3)
+
+        cos, sin = rotary_tables(positions, hd, self.rope_theta, self.dtype)
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+
+        group = H // KVH
+        new_cache_kv = None
+        if cache_kv is not None:
+            ck, cv = cache_kv
+            S = ck.shape[2]
+            # contiguous fill: all samples share the write offset (= length[0]);
+            # per-sample validity is handled by the mask below.
+            offset = cache_length[0]
+            ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, offset, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, offset, 0))
+            new_cache_kv = (ck, cv)
+            kv_pos = jnp.arange(S)[None, None, :]  # (1, 1, S)
+            q_pos = positions[:, None, :, None]  # (b, 1, L, 1)
+            mask = kv_pos[..., None, :] <= q_pos  # causal: (b, 1, L, S)
+            valid = kv_pos < (cache_length[:, None, None] + L)
+            mask = mask & valid[..., None, :]
+            k_att, v_att = ck, cv
+        else:
+            kv_pos = positions[:, None, None, :]  # (b, 1, 1, L)
+            q_pos = positions[:, None, :, None]  # (b, 1, L, 1)
+            mask = kv_pos <= q_pos
+            if padding_mask is not None:
+                mask = mask & padding_mask[:, None, None, :]
+            k_att, v_att = k, v
+
+        # GQA: repeat kv heads to match q heads.
+        k_att = jnp.repeat(k_att, group, axis=1)
+        v_att = jnp.repeat(v_att, group, axis=1)
+        out = sdpa(q, k_att, v_att, scale=hd**-0.5, mask=mask)
+        out = out.transpose(0, 2, 1, 3).reshape(b, L, H * hd)
+        out = nn.Dense(self.hidden_size, use_bias=False, dtype=self.dtype, name="o_proj")(out)
+        return out, new_cache_kv
+
+
+class DecoderMLP(nn.Module):
+    hidden_size: int
+    intermediate_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        gate = nn.Dense(self.intermediate_size, use_bias=False, dtype=self.dtype, name="gate_proj")(x)
+        up = nn.Dense(self.intermediate_size, use_bias=False, dtype=self.dtype, name="up_proj")(x)
+        return nn.Dense(self.hidden_size, use_bias=False, dtype=self.dtype, name="down_proj")(nn.silu(gate) * up)
+
+
+class DecoderLayer(nn.Module):
+    config: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, positions, cache_kv=None, cache_length=None, padding_mask=None):
+        cfg = self.config
+        h = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="input_layernorm")(x)
+        attn_out, new_cache_kv = DecoderAttention(
+            cfg.hidden_size, cfg.num_attention_heads, cfg.num_key_value_heads,
+            cfg.head_dim, cfg.rope_theta, cfg.attention_bias,
+            dtype=self.dtype, name="self_attn",
+        )(h, positions, cache_kv, cache_length, padding_mask)
+        x = x + attn_out
+        h = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="post_attention_layernorm")(x)
+        x = x + DecoderMLP(cfg.hidden_size, cfg.intermediate_size, dtype=self.dtype, name="mlp")(h)
+        return x, new_cache_kv
+
+
+class Qwen2Model(nn.Module):
+    """Decoder stack. ``__call__`` accepts embeddings (multimodal splice output)
+    or token ids via :meth:`embed`."""
+
+    config: Any
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
+            param_dtype=jnp.float32, name="embed_tokens",
+        )
+        self.layers = [
+            DecoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}") for i in range(cfg.num_hidden_layers)
+        ]
+        self.norm = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="norm")
+
+    def embed(self, input_ids: Array) -> Array:
+        return self.embed_tokens(input_ids)
+
+    def __call__(
+        self,
+        inputs_embeds: Array,  # (b, L, D)
+        positions: Array,  # (b, L)
+        cache: Optional[KVCache] = None,
+        padding_mask: Optional[Array] = None,
+    ) -> Tuple[Array, Optional[KVCache]]:
+        x = inputs_embeds.astype(self.dtype)
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            cache_kv = (cache.k[i], cache.v[i]) if cache is not None else None
+            x, new_cache_kv = layer(
+                x, positions, cache_kv, cache.length if cache is not None else None, padding_mask
+            )
+            if new_cache_kv is not None:
+                new_k.append(new_cache_kv[0])
+                new_v.append(new_cache_kv[1])
+        x = self.norm(x)
+        new_cache = None
+        if cache is not None:
+            L = inputs_embeds.shape[1]
+            if padding_mask is not None:
+                added = jnp.sum(padding_mask.astype(jnp.int32), axis=-1)
+            else:
+                added = jnp.full(cache.length.shape, L, jnp.int32)
+            new_cache = KVCache(jnp.stack(new_k), jnp.stack(new_v), cache.length + added)
+        return x, new_cache
+
+
+class Qwen2ForCausalLM(nn.Module):
+    config: Any
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.model = Qwen2Model(self.config, dtype=self.dtype)
+        if not self.config.tie_word_embeddings:
+            self.lm_head = nn.Dense(self.config.vocab_size, use_bias=False, dtype=self.dtype, name="lm_head")
+
+    def embed(self, input_ids: Array) -> Array:
+        return self.model.embed(input_ids)
+
+    def logits(self, hidden: Array) -> Array:
+        if self.config.tie_word_embeddings:
+            emb = self.model.embed_tokens.embedding.astype(self.dtype)
+            return hidden @ emb.T
+        return self.lm_head(hidden)
+
+    def __call__(self, inputs_embeds, positions, cache=None, padding_mask=None):
+        hidden, new_cache = self.model(inputs_embeds, positions, cache, padding_mask)
+        return self.logits(hidden), new_cache

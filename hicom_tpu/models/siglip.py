@@ -1,0 +1,190 @@
+"""SigLIP vision tower and guide text encoder in flax.
+
+Architecture per HF ``SiglipVisionModel`` / ``SiglipTextModel`` (the reference
+wraps them at ``/root/reference/hicom/model/encoder.py:208-327``):
+
+* vision: conv patch embedding + learned position embedding (no CLS), pre-LN
+  transformer, post layernorm; the tower feature is ``hidden_states[select_layer]``
+  (default -2, i.e. the input of the last block), reshaped to (h, w, d).
+* contrastive ``image_embeds`` (used as compression keys when ``use_clip_scale``):
+  ``last_hidden + head.mlp(head.layernorm(last_hidden))`` — the reference taps
+  only the pooling head's LN+MLP, not its probe attention (encoder.py:284-285).
+* guide text: token+position embeddings, transformer, final LN; pooled output =
+  ``head(last_token)``; ``fine`` guide mode uses per-token ``head(last_hidden)``
+  (encoder.py:276-282).
+
+Param paths mirror the HF torch state dict for mechanical weight import.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..config import SiglipTextConfig, SiglipVisionConfig
+from ..ops.attention import multi_head_attention
+from .layers import gelu_tanh
+
+Array = jnp.ndarray
+
+
+class SiglipAttention(nn.Module):
+    hidden_size: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
+        dense = lambda name: nn.Dense(self.hidden_size, name=name, dtype=self.dtype)  # noqa: E731
+        q = dense("q_proj")(x)
+        k = dense("k_proj")(x)
+        v = dense("v_proj")(x)
+        head_dim = self.hidden_size // self.num_heads
+        out = multi_head_attention(q, k, v, self.num_heads, scale=head_dim**-0.5, mask=mask)
+        return dense("out_proj")(out)
+
+
+class SiglipMLP(nn.Module):
+    hidden_size: int
+    intermediate_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.Dense(self.intermediate_size, name="fc1", dtype=self.dtype)(x)
+        x = gelu_tanh(x)
+        return nn.Dense(self.hidden_size, name="fc2", dtype=self.dtype)(x)
+
+
+class SiglipEncoderLayer(nn.Module):
+    hidden_size: int
+    intermediate_size: int
+    num_heads: int
+    eps: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
+        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm1")(x)
+        x = x + SiglipAttention(self.hidden_size, self.num_heads, dtype=self.dtype, name="self_attn")(h, mask)
+        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm2")(x)
+        return x + SiglipMLP(self.hidden_size, self.intermediate_size, dtype=self.dtype, name="mlp")(h)
+
+
+class SiglipEncoder(nn.Module):
+    """Returns (final_hidden, tapped_hidden) where ``tap_layer`` uses the
+    hidden_states indexing convention: hidden_states[i] is the input of block i,
+    hidden_states[-1] the final output. tap_layer=-2 → input of the last block."""
+
+    num_layers: int
+    hidden_size: int
+    intermediate_size: int
+    num_heads: int
+    eps: float
+    tap_layer: int = -2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Optional[Array] = None) -> Tuple[Array, Array]:
+        # hidden_states list has num_layers+1 entries; resolve tap index.
+        tap = self.tap_layer if self.tap_layer >= 0 else self.num_layers + 1 + self.tap_layer
+        tapped = x if tap == 0 else None
+        for i in range(self.num_layers):
+            x = SiglipEncoderLayer(
+                self.hidden_size, self.intermediate_size, self.num_heads, self.eps,
+                dtype=self.dtype, name=f"layers_{i}",
+            )(x, mask)
+            if i + 1 == tap:
+                tapped = x
+        assert tapped is not None, f"tap layer {self.tap_layer} out of range"
+        return x, tapped
+
+
+class SiglipVisionTower(nn.Module):
+    """Vision tower producing (features, image_embeds).
+
+    ``features``: (b, h, w, d) tap of ``hidden_states[select_layer]``.
+    ``image_embeds``: contrastive-head keys, or None when ``with_head=False``.
+    Input pixels are channel-first (b, 3, H, W) float in [-1, 1] (SigLIP norm),
+    matching the reference processor output.
+    """
+
+    config: SiglipVisionConfig
+    select_layer: int = -2
+    with_head: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixel_values: Array) -> Tuple[Array, Optional[Array]]:
+        cfg = self.config
+        b = pixel_values.shape[0]
+        x = jnp.transpose(pixel_values, (0, 2, 3, 1)).astype(self.dtype)  # NHWC
+        x = nn.Conv(
+            cfg.hidden_size,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embedding",
+        )(x)
+        hw = cfg.num_patches_per_side
+        x = x.reshape(b, hw * hw, cfg.hidden_size)
+        pos = self.param(
+            "position_embedding",
+            nn.initializers.normal(stddev=0.02),
+            (cfg.num_patches, cfg.hidden_size),
+            jnp.float32,
+        )
+        x = x + pos.astype(x.dtype)[None]
+
+        final, tapped = SiglipEncoder(
+            cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size,
+            cfg.num_attention_heads, cfg.layer_norm_eps,
+            tap_layer=self.select_layer, dtype=self.dtype, name="encoder",
+        )(x)
+
+        features = tapped.reshape(b, hw, hw, cfg.hidden_size)
+
+        image_embeds = None
+        if self.with_head:
+            last = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="post_layernorm")(final)
+            h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="head_layernorm")(last)
+            h = SiglipMLP(cfg.hidden_size, cfg.intermediate_size, dtype=self.dtype, name="head_mlp")(h)
+            image_embeds = (last + h).reshape(b, hw, hw, cfg.hidden_size)
+        return features, image_embeds
+
+
+class SiglipTextEncoder(nn.Module):
+    """Guide text encoder: returns (pooled (b, proj), per_token (b, L, proj))."""
+
+    config: SiglipTextConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: Array, attention_mask: Optional[Array] = None) -> Tuple[Array, Array]:
+        cfg = self.config
+        pair_mask = None
+        if attention_mask is not None:
+            pair_mask = (attention_mask[:, None, :] > 0)  # (b, 1, K) broadcast over queries
+        tok = self.param(
+            "token_embedding", nn.initializers.normal(stddev=0.02),
+            (cfg.vocab_size, cfg.hidden_size), jnp.float32,
+        )
+        pos = self.param(
+            "position_embedding", nn.initializers.normal(stddev=0.02),
+            (cfg.max_position_embeddings, cfg.hidden_size), jnp.float32,
+        )
+        L = input_ids.shape[-1]
+        x = tok.astype(self.dtype)[input_ids] + pos.astype(self.dtype)[None, :L]
+        final, _ = SiglipEncoder(
+            cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size,
+            cfg.num_attention_heads, cfg.layer_norm_eps,
+            tap_layer=-1, dtype=self.dtype, name="encoder",
+        )(x, pair_mask)
+        last = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="final_layer_norm")(final)
+        head = nn.Dense(cfg.projection_size, name="head", dtype=self.dtype)
+        per_token = head(last)
+        pooled = per_token[:, -1, :]
+        return pooled, per_token

@@ -140,6 +140,80 @@ def assert_tree_match(expected: Any, got: Any, path: str = "") -> None:
 
 
 # --------------------------------------------------------------------------- #
+# Encoder / decoder weight converters
+# --------------------------------------------------------------------------- #
+
+
+def convert_siglip_vision(state_dict: Mapping[str, np.ndarray]) -> dict:
+    """HF SiglipVisionModel → flax SiglipVisionTower params.
+
+    The pooling head's probe attention is unused (reference taps only its
+    LN+MLP, encoder.py:284-285) and is dropped.
+    """
+
+    def rename(key: str) -> Optional[str]:
+        if key.startswith("vision_model."):
+            key = key[len("vision_model."):]
+        elif key.startswith("vision_tower.vision_model."):  # SFT checkpoints
+            key = key[len("vision_tower.vision_model."):]
+        else:
+            return None
+        if key.startswith("head.attention") or key == "head.probe":
+            return None
+        key = key.replace("embeddings.patch_embedding", "patch_embedding")
+        if key == "embeddings.position_embedding.weight":
+            return "position_embedding"  # raw (num_pos, d), no transpose
+        key = re.sub(r"encoder\.layers\.(\d+)\.", r"encoder.layers_\1.", key)
+        key = key.replace("head.layernorm", "head_layernorm")
+        key = key.replace("head.mlp", "head_mlp")
+        return key
+
+    return torch_to_flax_params(state_dict, rename)
+
+
+def convert_siglip_text(state_dict: Mapping[str, np.ndarray]) -> dict:
+    """HF SiglipTextModel → flax SiglipTextEncoder params."""
+
+    def rename(key: str) -> Optional[str]:
+        if key.startswith("text_model."):
+            key = key[len("text_model."):]
+        elif key.startswith("guide_encoder.text_model."):
+            key = key[len("guide_encoder.text_model."):]
+        else:
+            return None
+        if key == "embeddings.token_embedding.weight":
+            return "token_embedding"
+        if key == "embeddings.position_embedding.weight":
+            return "position_embedding"
+        key = re.sub(r"encoder\.layers\.(\d+)\.", r"encoder.layers_\1.", key)
+        return key
+
+    return torch_to_flax_params(state_dict, rename)
+
+
+def convert_decoder(state_dict: Mapping[str, np.ndarray], tie_word_embeddings: bool = False) -> dict:
+    """HF Qwen2/Llama ForCausalLM → flax Qwen2ForCausalLM params.
+
+    Multimodal keys (``model.mm_projector.*``, ``model.vision_tower.*``,
+    ``model.image_newline``) are dropped here; dedicated converters handle them.
+    """
+
+    def rename(key: str) -> Optional[str]:
+        if key.startswith("model.mm_projector") or key.startswith("model.vision_tower"):
+            return None
+        if key == "model.image_newline":
+            return None
+        if key == "model.embed_tokens.weight":
+            return "model.embed_tokens.embedding"
+        if key == "lm_head.weight":
+            return None if tie_word_embeddings else "lm_head.weight"
+        key = re.sub(r"model\.layers\.(\d+)\.", r"model.layers_\1.", key)
+        return key
+
+    return torch_to_flax_params(state_dict, rename)
+
+
+# --------------------------------------------------------------------------- #
 # Projector weights (mm_projector.bin or prefixed SFT keys)
 # --------------------------------------------------------------------------- #
 

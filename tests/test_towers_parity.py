@@ -1,0 +1,143 @@
+"""Parity tests: flax SigLIP / Qwen2 vs randomly-initialized HF torch models."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from hicom_tpu import config as hcfg
+from hicom_tpu.models.qwen2 import KVCache, Qwen2ForCausalLM
+from hicom_tpu.models.siglip import SiglipTextEncoder, SiglipVisionTower
+from hicom_tpu.weights import assert_tree_match, convert_decoder, convert_siglip_text, convert_siglip_vision
+
+VIS = dict(hidden_size=64, intermediate_size=128, num_hidden_layers=3,
+           num_attention_heads=4, image_size=56, patch_size=14)
+TXT = dict(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+           num_attention_heads=4, vocab_size=99, max_position_embeddings=16)
+
+
+def test_siglip_vision_parity():
+    hf_cfg = transformers.SiglipVisionConfig(**VIS)
+    torch.manual_seed(0)
+    hf = transformers.SiglipVisionModel(hf_cfg).eval()
+
+    pixels = np.random.default_rng(0).uniform(-1, 1, (2, 3, 56, 56)).astype(np.float32)
+    with torch.no_grad():
+        out = hf(torch.from_numpy(pixels), output_hidden_states=True)
+    ref_feat = out.hidden_states[-2].numpy().reshape(2, 4, 4, 64)
+    last = out.last_hidden_state
+    with torch.no_grad():
+        embeds = (last + hf.vision_model.head.mlp(hf.vision_model.head.layernorm(last))).numpy().reshape(2, 4, 4, 64)
+
+    cfg = hcfg.SiglipVisionConfig(**VIS)
+    model = SiglipVisionTower(config=cfg, select_layer=-2)
+    params = convert_siglip_vision({k: v.numpy() for k, v in hf.state_dict().items()})
+    expected = model.init(jax.random.PRNGKey(0), jnp.asarray(pixels))["params"]
+    assert_tree_match(expected, params)
+    feat, emb = model.apply({"params": params}, jnp.asarray(pixels))
+    np.testing.assert_allclose(np.asarray(feat), ref_feat, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(emb), embeds, rtol=2e-4, atol=2e-4)
+
+
+def test_siglip_text_parity():
+    hf_cfg = transformers.SiglipTextConfig(projection_size=48, **TXT)
+    torch.manual_seed(1)
+    hf = transformers.SiglipTextModel(hf_cfg).eval()
+
+    ids = np.random.default_rng(1).integers(0, 99, (2, 16))
+    with torch.no_grad():
+        out = hf(torch.from_numpy(ids))
+    ref_pooled = out.pooler_output.numpy()
+    with torch.no_grad():
+        ref_tokens = hf.text_model.head(out.last_hidden_state).numpy()
+
+    cfg = hcfg.SiglipTextConfig(projection_size=48, **TXT)
+    model = SiglipTextEncoder(config=cfg)
+    params = convert_siglip_text({k: v.numpy() for k, v in hf.state_dict().items()})
+    expected = model.init(jax.random.PRNGKey(0), jnp.asarray(ids))["params"]
+    assert_tree_match(expected, params)
+    pooled, per_token = model.apply({"params": params}, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(pooled), ref_pooled, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(per_token), ref_tokens, rtol=2e-4, atol=2e-4)
+
+
+QWEN = dict(vocab_size=128, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=128,
+            rope_theta=10000.0, tie_word_embeddings=False)
+
+
+def _build_qwen_pair(seed=2):
+    hf_cfg = transformers.Qwen2Config(**QWEN)
+    torch.manual_seed(seed)
+    hf = transformers.Qwen2ForCausalLM(hf_cfg).eval()
+    cfg = hcfg.Qwen2Config(head_dim=16, attention_bias=True, rms_norm_eps=1e-6, **QWEN)
+    model = Qwen2ForCausalLM(config=cfg)
+    params = convert_decoder({k: v.numpy() for k, v in hf.state_dict().items()})
+    return hf, model, params, cfg
+
+
+def test_qwen2_forward_parity():
+    hf, model, params, cfg = _build_qwen_pair()
+    ids = np.random.default_rng(2).integers(0, 128, (2, 11))
+    with torch.no_grad():
+        ref_logits = hf(torch.from_numpy(ids)).logits.numpy()
+
+    positions = jnp.broadcast_to(jnp.arange(11)[None], (2, 11))
+    bound = model.bind({"params": params})
+    embeds = bound.embed(jnp.asarray(ids))
+    expected = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(ids), positions,
+        method=lambda m, i, p: m(m.embed(i), p),
+    )["params"]
+    assert_tree_match(expected, params)
+    logits, _ = model.apply({"params": params}, embeds, positions)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=3e-4, atol=3e-4)
+
+
+def test_qwen2_kv_cache_decode_matches_full_forward():
+    _, model, params, cfg = _build_qwen_pair()
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, 128, (1, 9))
+    bound = model.bind({"params": params})
+    embeds = bound.embed(jnp.asarray(ids))
+
+    # full forward (no cache)
+    positions = jnp.arange(9)[None]
+    full_logits, _ = model.apply({"params": params}, embeds, positions)
+
+    # prefill first 6, then decode 3 single tokens
+    cache = KVCache.zeros(cfg.num_hidden_layers, 1, cfg.num_key_value_heads, 16, cfg.head_dim, jnp.float32)
+    logits_p, cache = model.apply({"params": params}, embeds[:, :6], jnp.arange(6)[None], cache)
+    np.testing.assert_allclose(np.asarray(logits_p), np.asarray(full_logits[:, :6]), rtol=2e-4, atol=2e-4)
+    for t in range(6, 9):
+        step_logits, cache = model.apply(
+            {"params": params}, embeds[:, t : t + 1], jnp.array([[t]]), cache
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_logits[:, 0]), np.asarray(full_logits[:, t]), rtol=2e-4, atol=2e-4
+        )
+    assert int(cache.length[0]) == 9
+
+
+def test_qwen2_padding_mask():
+    """Right-padded batch rows must produce the same logits as unpadded rows."""
+    _, model, params, cfg = _build_qwen_pair()
+    rng = np.random.default_rng(4)
+    ids = rng.integers(1, 128, (1, 7))
+    bound = model.bind({"params": params})
+
+    positions = jnp.arange(7)[None]
+    logits_ref, _ = model.apply({"params": params}, bound.embed(jnp.asarray(ids)), positions)
+
+    padded = np.concatenate([ids, np.zeros((1, 3), dtype=ids.dtype)], axis=1)
+    mask = jnp.asarray(np.concatenate([np.ones((1, 7)), np.zeros((1, 3))], axis=1).astype(bool))
+    logits_pad, _ = model.apply(
+        {"params": params}, bound.embed(jnp.asarray(padded)), jnp.arange(10)[None], padding_mask=mask
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_pad[:, :7]), np.asarray(logits_ref), rtol=2e-4, atol=2e-4
+    )
