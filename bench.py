@@ -1,0 +1,139 @@
+"""Benchmark: end-to-end video compression + prefill throughput on one chip.
+
+Measures the reference's headline pipeline (SURVEY.md §6 / BASELINE.json):
+32-frame video → SigLIP-so400m patch encoding → HICom local43+global32
+compression (guide=direct) → decoder prefill over [visual; text] tokens →
+first-token logits. Reported as frames/sec/chip.
+
+``vs_baseline`` compares against an analytic A100 PyTorch estimate for the
+identical computation (bf16 roofline at 45% MFU — generous to the reference,
+which runs eval at batch 1 with Python-loop projectors; see BASELINE.md).
+
+Run: python bench.py            (full size: so400m + Qwen2.5-1.5B decoder)
+     python bench.py --small    (CI-sized sanity run)
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true", help="tiny config sanity run")
+    ap.add_argument("--batch", type=int, default=2, help="videos per step")
+    ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from hicom_tpu.config import HIComConfig, Qwen2Config, SiglipTextConfig, SiglipVisionConfig, tiny_test_config
+    from hicom_tpu.constants import VIDEO_TOKEN_INDEX
+    from hicom_tpu.models.hicom import HIComModel
+
+    if args.small:
+        cfg = tiny_test_config(use_guide="direct", dtype="bfloat16")
+        t = 4
+    else:
+        # SigLIP-so400m + Qwen2.5-1.5B-scale decoder (fits one v5e chip in bf16).
+        cfg = HIComConfig(
+            text_config=Qwen2Config(
+                vocab_size=151936, hidden_size=1536, intermediate_size=8960,
+                num_hidden_layers=28, num_attention_heads=12, num_key_value_heads=2,
+                head_dim=128, rope_theta=1000000.0,
+            ),
+            vision_config=SiglipVisionConfig(),
+            guide_text_config=SiglipTextConfig(),
+            mm_vision_tower="google/siglip-so400m-patch14-384",
+            mm_projector_type="local43_global32",
+            use_guide="direct",
+            num_frames=args.frames,
+            dtype="bfloat16",
+        )
+        t = args.frames
+
+    model = HIComModel(config=cfg)
+    rng = np.random.default_rng(0)
+    img = cfg.vision_config.image_size
+    b, L = args.batch, 48
+    ids = rng.integers(5, cfg.text_config.vocab_size, (b, L))
+    ids[:, 2] = VIDEO_TOKEN_INDEX
+    input_ids = jnp.asarray(ids)
+    frames = jnp.asarray(rng.standard_normal((b, t, 3, img, img)).astype(np.float32), dtype=jnp.bfloat16)
+    gids = jnp.asarray(rng.integers(1, cfg.guide_text_config.vocab_size, (b, 24)))
+
+    # init with a single tiny sample to keep init-forward activations small
+    init_ids = input_ids[:1, :8].at[0, 2].set(VIDEO_TOKEN_INDEX)
+    variables = jax.jit(
+        lambda r: model.init(r, init_ids, frames[:1, :1], guide_ids=gids[:1], modal="video")
+    )(jax.random.PRNGKey(0))
+    params = jax.jit(lambda v: jax.tree.map(lambda x: x.astype(jnp.bfloat16), v["params"]), donate_argnums=0)(variables)
+
+    def pipeline(params, input_ids, frames, gids):
+        def run(m):
+            ge = m.encode_guide(gids)
+            visual = m.encode_visual(frames, ge, "video")
+            spliced = m.embed_and_splice(input_ids, visual)
+            hidden, _ = m.language_model.model(spliced.embeds, spliced.positions, padding_mask=spliced.attention_mask)
+            # scalar output: on this TPU tunnel, block_until_ready is a no-op
+            # and D2H is ~2MB/s, so timing must fetch a scalar.
+            return jnp.sum(m.language_model.logits(hidden[:, -1:]).astype(jnp.float32))
+
+        return model.apply({"params": params}, method=run)
+
+    fn = jax.jit(pipeline)
+    float(fn(params, input_ids, frames, gids))  # compile + warm
+
+    # Amortize the ~30ms host<->chip sync: queue all iters, fetch one scalar.
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(args.iters):
+        acc = acc + fn(params, input_ids, frames, gids)
+    float(acc)
+    dt = (time.perf_counter() - t0) / args.iters
+    frames_per_sec = b * t / dt
+
+    # Analytic A100 estimate for the same computation (bf16 312 TFLOP/s, 45% MFU).
+    def approx_flops():
+        v = cfg.vision_config
+        tokens = v.num_patches
+        vis_params = v.num_hidden_layers * (4 * v.hidden_size**2 + 2 * v.hidden_size * v.intermediate_size)
+        vis = 2 * vis_params * tokens * (b * t)
+        tc = cfg.text_config
+        # prefill length = L - 1 + visual tokens
+        Vtok = 680 if not args.small else 36
+        S = L - 1 + Vtok
+        dec_params = tc.num_hidden_layers * (
+            tc.hidden_size * tc.head_dim * (tc.num_attention_heads + 2 * tc.num_key_value_heads)
+            + tc.num_attention_heads * tc.head_dim * tc.hidden_size
+            + 3 * tc.hidden_size * tc.intermediate_size
+        )
+        dec = 2 * dec_params * S * b
+        return vis + dec
+
+    a100_sec = approx_flops() / (312e12 * 0.45)
+    a100_frames_per_sec = b * t / a100_sec
+    vs_baseline = frames_per_sec / a100_frames_per_sec
+
+    print(json.dumps({
+        "metric": "video_frames_per_sec_per_chip_e2e_prefill",
+        "value": round(frames_per_sec, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(vs_baseline, 3),
+        "detail": {
+            "ttft_ms_per_video": round(dt / b * 1e3, 2),
+            "batch_videos": b,
+            "frames_per_video": t,
+            "config": "so400m+qwen2.5-1.5B" if not args.small else "tiny",
+            "baseline_model": "analytic A100 bf16 roofline @45% MFU, same computation",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,311 @@
+"""Public inference API: ``model_init`` and ``mm_infer``.
+
+Mirrors the reference surface (``/root/reference/hicom/__init__.py:14-124`` and
+``model/__init__.py:42-193``): ``model_init(path)`` loads a checkpoint into a
+runtime handle + processor dict + tokenizer; ``mm_infer`` runs one multimodal
+generation. Checkpoint layouts supported:
+
+* **SFT** — one HF directory with ``model_type: hicom_*``, full weights
+  (decoder + vision tower + guide encoder + projector + image_newline).
+* **pretrain** — base LLM directory (``model_base=``) + ``mm_projector.bin``
+  in ``model_path``; tower weights from ``config.mm_vision_tower``.
+* **plain LLM** — text-only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from .config import HIComConfig, SiglipTextConfig, SiglipVisionConfig
+from .constants import DEFAULT_IMAGE_TOKEN, DEFAULT_VIDEO_TOKEN
+from .data.image import process_image
+from .data.processor import SiglipImagePreprocessor
+from .data.prompts import get_model_name_from_path, tokenizer_multimodal_token
+from .data.video import process_video
+from . import weights as W
+
+
+@dataclass
+class HICom:
+    """Loaded model runtime: config + flax module + params on device."""
+
+    config: HIComConfig
+    model: Any
+    params: Dict[str, Any]
+    guide_tokenizer: Any = None
+    eos_token_id: Optional[int] = None
+    cache_len: int = 4096
+    _gen_cache: dict = field(default_factory=dict)
+
+    def generate(
+        self,
+        input_ids: np.ndarray,
+        frames: Optional[np.ndarray] = None,
+        guide_ids: Optional[np.ndarray] = None,
+        guide_mask: Optional[np.ndarray] = None,
+        attention_mask: Optional[np.ndarray] = None,
+        modal: str = "video",
+        max_new_tokens: int = 128,
+        do_sample: bool = False,
+        temperature: float = 0.2,
+        top_p: float = 0.9,
+        seed: int = 0,
+    ) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        from .models.generate import generate_tokens
+
+        temp = float(temperature) if do_sample else 0.0
+        out = generate_tokens(
+            {"params": self.params},
+            jnp.asarray(input_ids),
+            jnp.asarray(frames, dtype=jnp.dtype(self.config.dtype)) if frames is not None else None,
+            jnp.asarray(guide_ids) if guide_ids is not None else None,
+            jnp.asarray(guide_mask) if guide_mask is not None else None,
+            jax.random.PRNGKey(seed),
+            jnp.asarray(attention_mask) if attention_mask is not None else None,
+            model=self.model,
+            modal=modal if frames is not None else "text",
+            max_new_tokens=max_new_tokens,
+            temperature=temp,
+            top_p=float(top_p),
+            eos_token_id=int(self.eos_token_id),
+            cache_len=self.cache_len,
+            has_frames=frames is not None,
+        )
+        return np.asarray(out)
+
+
+def _tower_configs(tower_path: str):
+    """Vision/guide-text configs: from a local tower directory's config.json,
+    else baked defaults for the known tower names."""
+    if os.path.isdir(tower_path):
+        with open(os.path.join(tower_path, "config.json")) as f:
+            d = json.load(f)
+        vd = d.get("vision_config", d if d.get("model_type") == "siglip_vision_model" else {})
+        td = d.get("text_config", {})
+        vision = SiglipVisionConfig(
+            hidden_size=vd.get("hidden_size", 1152),
+            intermediate_size=vd.get("intermediate_size", 4304),
+            num_hidden_layers=vd.get("num_hidden_layers", 27),
+            num_attention_heads=vd.get("num_attention_heads", 16),
+            image_size=vd.get("image_size", 384),
+            patch_size=vd.get("patch_size", 14),
+        )
+        text = SiglipTextConfig(
+            hidden_size=td.get("hidden_size", vision.hidden_size),
+            intermediate_size=td.get("intermediate_size", vision.intermediate_size),
+            num_hidden_layers=td.get("num_hidden_layers", vision.num_hidden_layers),
+            num_attention_heads=td.get("num_attention_heads", vision.num_attention_heads),
+            vocab_size=td.get("vocab_size", 32000),
+            max_position_embeddings=td.get("max_position_embeddings", 64),
+            projection_size=td.get("projection_size", td.get("hidden_size", vision.hidden_size)),
+        )
+        return vision, text
+    if "siglip" in tower_path:
+        return SiglipVisionConfig(), SiglipTextConfig()
+    raise NotImplementedError(f"unknown vision tower: {tower_path}")
+
+
+def load_model(
+    model_path: str,
+    model_base: Optional[str] = None,
+    dtype: str = "bfloat16",
+    cache_len: int = 4096,
+    device: Optional[str] = None,
+) -> "HICom":
+    """Load a checkpoint directory into a device-resident HICom runtime."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.hicom import HIComModel
+
+    with open(os.path.join(model_path, "config.json")) as f:
+        raw_cfg = json.load(f)
+
+    is_pretrain_artifact = os.path.exists(os.path.join(model_path, "mm_projector.bin"))
+    cfg = HIComConfig.from_hf_dict(raw_cfg)
+    vision_cfg, guide_cfg = _tower_configs(cfg.mm_vision_tower)
+    cfg = cfg.replace(vision_config=vision_cfg, guide_text_config=guide_cfg, dtype=dtype)
+
+    spec = cfg.projector
+    params: Dict[str, Any] = {}
+
+    if is_pretrain_artifact:
+        assert model_base is not None, "pretrain checkpoints need model_base (the base LLM directory)"
+        llm_sd = W.load_hf_state_dict(model_base)
+        proj_sd = W.load_torch_bin(os.path.join(model_path, "mm_projector.bin"))
+        tower_sd = W.load_hf_state_dict(cfg.mm_vision_tower)
+    else:
+        sd = W.load_hf_state_dict(model_path)
+        llm_sd = sd
+        proj_sd = {k: v for k, v in sd.items() if "mm_projector" in k}
+        # tower/guide weights embedded under model.vision_tower.*
+        tower_sd = {}
+        for k, v in sd.items():
+            if k.startswith("model.vision_tower.vision_tower."):
+                tower_sd[k[len("model.vision_tower.vision_tower."):]] = v
+            elif k.startswith("model.vision_tower.guide_encoder."):
+                tower_sd[k[len("model.vision_tower.guide_encoder."):]] = v
+        if not tower_sd:  # frozen tower (delay_load): pull from the tower dir
+            tower_sd = W.load_hf_state_dict(cfg.mm_vision_tower)
+
+    params["language_model"] = W.convert_decoder(llm_sd, cfg.text_config.tie_word_embeddings)
+    params["vision_tower"] = W.convert_siglip_vision(tower_sd)
+    if cfg.guide_enabled():
+        params["guide_encoder"] = W.convert_siglip_text(tower_sd)
+    if proj_sd:
+        params["mm_projector"] = W.convert_projector_state(proj_sd, spec.kind)
+        use_cs = [s for s in (cfg.use_clip_scale or "").split(",") if s]
+        if use_cs and "logit_scale" in tower_sd:
+            for side in ("local", "global"):
+                if side in use_cs and f"{side}_logit_scale" not in params["mm_projector"]:
+                    params["mm_projector"][f"{side}_logit_scale"] = tower_sd["logit_scale"].reshape(())
+                    params["mm_projector"][f"{side}_logit_bias"] = tower_sd["logit_bias"].reshape(())
+    if "model.image_newline" in llm_sd:
+        params["image_newline"] = llm_sd["model.image_newline"]
+
+    jdtype = jnp.dtype(dtype)
+    params = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x, dtype=jdtype if np.issubdtype(x.dtype, np.floating) else None)), params)
+
+    model = HIComModel(config=cfg)
+    guide_tok = None
+    if cfg.guide_enabled():
+        try:
+            from transformers import AutoTokenizer
+
+            guide_tok = AutoTokenizer.from_pretrained(cfg.mm_vision_tower)
+        except Exception:
+            guide_tok = None  # sentencepiece unavailable: caller passes guide ids
+
+    eos = raw_cfg.get("eos_token_id", cfg.text_config.eos_token_id)
+    if isinstance(eos, list):
+        eos = eos[0]
+    return HICom(config=cfg, model=model, params=params, guide_tokenizer=guide_tok,
+                 eos_token_id=eos, cache_len=cache_len)
+
+
+def model_init(model_path: str, model_base: Optional[str] = None, **kwargs):
+    """Reference-compatible entry: returns (model, processor dict, tokenizer)."""
+    from transformers import AutoTokenizer
+
+    model = load_model(model_path, model_base=model_base, **kwargs)
+    tok_path = model_path if os.path.exists(os.path.join(model_path, "tokenizer_config.json")) else model_base
+    tokenizer = AutoTokenizer.from_pretrained(tok_path)
+    if tokenizer.pad_token is None and tokenizer.unk_token is not None:
+        tokenizer.pad_token = tokenizer.unk_token
+
+    cfg = model.config
+    image_processor = SiglipImagePreprocessor(
+        size=(cfg.vision_config.image_size, cfg.vision_config.image_size)
+    )
+    processor = {
+        "image": partial(
+            process_image,
+            processor=image_processor,
+            aspect_ratio=cfg.image_aspect_ratio,
+            image_grid_pinpoints=cfg.image_grid_pinpoints,
+            image_crop_resolution=None,
+            image_split_resolution=None,
+        ),
+        "video": partial(
+            process_video,
+            processor=image_processor,
+            aspect_ratio=cfg.image_aspect_ratio,
+            num_frames=cfg.num_frames,
+        ),
+    }
+    return model, processor, tokenizer
+
+
+def _pad_to_bucket(ids: np.ndarray, pad_id: int, bucket: int = 64):
+    L = ids.shape[1]
+    target = max(bucket, ((L + bucket - 1) // bucket) * bucket)
+    if target == L:
+        return ids, np.ones_like(ids, dtype=bool)
+    pad = np.full((ids.shape[0], target - L), pad_id, dtype=ids.dtype)
+    mask = np.concatenate([np.ones_like(ids, dtype=bool), np.zeros_like(pad, dtype=bool)], axis=1)
+    return np.concatenate([ids, pad], axis=1), mask
+
+
+def mm_infer(
+    image_or_video,
+    instruct,
+    model: HICom,
+    tokenizer,
+    modal: str = "video",
+    image_size=None,
+    **kwargs,
+) -> str:
+    """Single-sample multimodal generation → response string
+    (reference ``hicom/__init__.py:40-124``)."""
+    import copy as _copy
+
+    if modal == "image":
+        modal_token = DEFAULT_IMAGE_TOKEN
+    elif modal == "video":
+        modal_token = DEFAULT_VIDEO_TOKEN
+    elif modal == "text":
+        modal_token = ""
+    else:
+        raise ValueError(f"unsupported modal: {modal}")
+
+    frames = None
+    if modal != "text":
+        frames = np.asarray(image_or_video)
+        if frames.ndim == 3:
+            frames = frames[None]
+        frames = frames[None]  # (1, t, 3, H, W)
+
+    if isinstance(instruct, str):
+        message = [{"role": "user", "content": modal_token + "\n" + instruct}]
+    elif isinstance(instruct, list):
+        message = _copy.deepcopy(instruct)
+        message[0]["content"] = modal_token + "\n" + message[0]["content"]
+    else:
+        raise ValueError(f"unsupported instruct type: {type(instruct)}")
+
+    prompt = tokenizer.apply_chat_template(message, tokenize=False, add_generation_prompt=True)
+    ids = np.asarray(tokenizer_multimodal_token(prompt, tokenizer, modal_token, return_tensors="np"))[None]
+    pad_id = tokenizer.pad_token_id if tokenizer.pad_token_id is not None else 0
+    ids, mask = _pad_to_bucket(ids, pad_id)
+
+    guide_ids = guide_mask = None
+    if model.config.guide_enabled() and frames is not None:
+        if "guide_ids" in kwargs:
+            guide_ids = np.asarray(kwargs["guide_ids"])
+            guide_mask = kwargs.get("guide_mask")
+        else:
+            guide_instruct = kwargs["guide_instruct"]
+            assert model.guide_tokenizer is not None, "guide tokenizer unavailable; pass guide_ids"
+            enc = model.guide_tokenizer(guide_instruct, padding="max_length", truncation=True,
+                                        max_length=model.config.guide_text_config.max_position_embeddings,
+                                        return_tensors="np")
+            guide_ids = enc["input_ids"]
+            guide_mask = enc.get("attention_mask")
+
+    out = model.generate(
+        ids,
+        frames=frames,
+        guide_ids=guide_ids,
+        guide_mask=guide_mask,
+        attention_mask=mask,
+        modal=modal,
+        max_new_tokens=kwargs.get("max_new_tokens", 2048),
+        do_sample=kwargs.get("do_sample", False),
+        temperature=kwargs.get("temperature", 0.2),
+        top_p=kwargs.get("top_p", 0.9),
+    )
+    text = tokenizer.batch_decode(out, skip_special_tokens=True)[0].strip()
+    # KeywordsStoppingCriteria parity: trim at the eos keyword if it survives decode
+    eos_str = tokenizer.decode([model.eos_token_id], skip_special_tokens=False)
+    if eos_str and eos_str in text:
+        text = text.split(eos_str)[0].strip()
+    return text

@@ -47,6 +47,7 @@ def generate_tokens(
     guide_ids: Optional[Array],
     guide_mask: Optional[Array],
     rng: Array,
+    attention_mask: Optional[Array] = None,  # (b, L) bool; None = all real
     *,
     model,
     modal: str = "video",
@@ -69,15 +70,18 @@ def generate_tokens(
             if cfg.guide_enabled():
                 guide_embeds = m.encode_guide(guide_ids, guide_mask)
             visual = m.encode_visual(frames, guide_embeds, modal)
-        spliced = m.embed_and_splice(input_ids, visual)
+        spliced = m.embed_and_splice(input_ids, visual, attention_mask)
 
         tc = cfg.text_config
         dtype = jnp.dtype(cfg.dtype)
         cache = KVCache.zeros(
             tc.num_hidden_layers, b, tc.num_key_value_heads, cache_len, tc.head_dim, dtype
         )
-        hidden, cache = m.language_model.model(spliced.embeds, spliced.positions, cache)
-        last_idx = jnp.sum(spliced.attention_mask.astype(jnp.int32), axis=1) - 1
+        hidden, cache = m.language_model.model(
+            spliced.embeds, spliced.positions, cache, padding_mask=spliced.attention_mask
+        )
+        true_len = jnp.sum(spliced.attention_mask.astype(jnp.int32), axis=1)  # (b,)
+        last_idx = true_len - 1
         last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)  # (b, 1, D)
         logits = m.language_model.logits(last_hidden)[:, 0]  # (b, vocab)
 
@@ -95,7 +99,8 @@ def generate_tokens(
             step, cache, out, done, rng = state
             cur = out[:, step - 1]
             embeds = m.language_model.embed(cur[:, None])
-            positions = cache.length[:, None]
+            # rope position = per-row true length (pads excluded), not cache slot
+            positions = (true_len + step - 1)[:, None]
             hidden, cache = m.language_model.model(embeds, positions, cache)
             logits = m.language_model.logits(hidden)[:, 0]
             rng, sub = jax.random.split(rng)

@@ -25,16 +25,27 @@ Array = jnp.ndarray
 
 
 class KVCache(NamedTuple):
-    """Per-layer stacked cache: k/v are (num_layers, b, kv_heads, max_len, head_dim)."""
+    """Per-layer stacked cache: k/v are (num_layers, b, kv_heads, max_len, head_dim).
+
+    ``valid`` is a (b, max_len) bitmap marking real (non-padding) cache slots so
+    right-padded prefill batches decode correctly; ``length`` is the shared
+    contiguous write offset.
+    """
 
     k: Array
     v: Array
-    length: Array  # (b,) int32 — number of valid positions per sample
+    length: Array  # (b,) int32 — write offset (same for all rows)
+    valid: Array  # (b, max_len) bool
 
     @classmethod
     def zeros(cls, num_layers, batch, kv_heads, max_len, head_dim, dtype):
         shape = (num_layers, batch, kv_heads, max_len, head_dim)
-        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((batch,), jnp.int32))
+        return cls(
+            jnp.zeros(shape, dtype),
+            jnp.zeros(shape, dtype),
+            jnp.zeros((batch,), jnp.int32),
+            jnp.zeros((batch, max_len), dtype=bool),
+        )
 
 
 class RMSNorm(nn.Module):
@@ -81,6 +92,7 @@ class DecoderAttention(nn.Module):
         positions: Array,  # (b, L)
         cache_kv: Optional[Tuple[Array, Array]] = None,  # (b, KVH, S, d) each
         cache_length: Optional[Array] = None,  # (b,)
+        cache_valid: Optional[Array] = None,  # (b, S) bool, already including this step
         padding_mask: Optional[Array] = None,  # (b, L) bool; True = real token
     ):
         b, L, _ = x.shape
@@ -107,11 +119,13 @@ class DecoderAttention(nn.Module):
             ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, offset, 0))
             cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, offset, 0))
             new_cache_kv = (ck, cv)
-            kv_pos = jnp.arange(S)[None, None, :]  # (1, 1, S)
-            q_pos = positions[:, None, :, None]  # (b, 1, L, 1)
-            mask = kv_pos[..., None, :] <= q_pos  # causal: (b, 1, L, S)
-            valid = kv_pos < (cache_length[:, None, None] + L)
-            mask = mask & valid[..., None, :]
+            # Causality over cache SLOTS (append-only), not rope positions:
+            # with right padding the two diverge (pads consume slots but not
+            # positions). Padding slots are excluded via the validity bitmap.
+            kv_slot = jnp.arange(S)[None, None, None, :]  # (1, 1, 1, S)
+            q_slot = (offset + jnp.arange(L))[None, None, :, None]  # (1, 1, L, 1)
+            mask = kv_slot <= q_slot
+            mask = mask & cache_valid[:, None, None, :]
             k_att, v_att = ck, cv
         else:
             kv_pos = positions[:, None, None, :]  # (b, 1, 1, L)
@@ -147,14 +161,14 @@ class DecoderLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, positions, cache_kv=None, cache_length=None, padding_mask=None):
+    def __call__(self, x, positions, cache_kv=None, cache_length=None, cache_valid=None, padding_mask=None):
         cfg = self.config
         h = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="input_layernorm")(x)
         attn_out, new_cache_kv = DecoderAttention(
             cfg.hidden_size, cfg.num_attention_heads, cfg.num_key_value_heads,
             cfg.head_dim, cfg.rope_theta, cfg.attention_bias,
             dtype=self.dtype, name="self_attn",
-        )(h, positions, cache_kv, cache_length, padding_mask)
+        )(h, positions, cache_kv, cache_length, cache_valid, padding_mask)
         x = x + attn_out
         h = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="post_attention_layernorm")(x)
         x = x + DecoderMLP(cfg.hidden_size, cfg.intermediate_size, dtype=self.dtype, name="mlp")(h)
@@ -190,11 +204,18 @@ class Qwen2Model(nn.Module):
         padding_mask: Optional[Array] = None,
     ) -> Tuple[Array, Optional[KVCache]]:
         x = inputs_embeds.astype(self.dtype)
+        b, L = inputs_embeds.shape[:2]
+        cache_valid = None
+        if cache is not None:
+            step_valid = padding_mask.astype(bool) if padding_mask is not None else jnp.ones((b, L), bool)
+            cache_valid = jax.lax.dynamic_update_slice(cache.valid, step_valid, (0, cache.length[0]))
         new_k, new_v = [], []
         for i, layer in enumerate(self.layers):
             cache_kv = (cache.k[i], cache.v[i]) if cache is not None else None
             x, new_cache_kv = layer(
-                x, positions, cache_kv, cache.length if cache is not None else None, padding_mask
+                x, positions, cache_kv,
+                cache.length if cache is not None else None,
+                cache_valid, padding_mask,
             )
             if new_cache_kv is not None:
                 new_k.append(new_cache_kv[0])
@@ -202,12 +223,9 @@ class Qwen2Model(nn.Module):
         x = self.norm(x)
         new_cache = None
         if cache is not None:
-            L = inputs_embeds.shape[1]
-            if padding_mask is not None:
-                added = jnp.sum(padding_mask.astype(jnp.int32), axis=-1)
-            else:
-                added = jnp.full(cache.length.shape, L, jnp.int32)
-            new_cache = KVCache(jnp.stack(new_k), jnp.stack(new_v), cache.length + added)
+            new_cache = KVCache(
+                jnp.stack(new_k), jnp.stack(new_v), cache.length + L, cache_valid
+            )
         return x, new_cache
 
 

@@ -1,0 +1,116 @@
+"""Sharded training step: loss, gradients, optimizer update under one jit.
+
+Replaces the reference's HF Trainer + DeepSpeed engine: the (dp, fsdp, tp)
+mesh shards batch and params; XLA inserts gradient reductions and ZeRO-style
+parameter gathers from the sharding annotations (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..constants import IGNORE_INDEX
+from ..parallel.sharding import batch_sharding, param_shardings
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Next-token cross entropy; positions labeled IGNORE_INDEX are masked.
+
+    Returns (mean_loss, num_target_tokens).
+    """
+    shift_logits = logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != IGNORE_INDEX
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    ll = optax.softmax_cross_entropy_with_integer_labels(shift_logits, safe_labels)
+    n = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(jnp.where(valid, ll, 0.0)) / n, n
+
+
+def make_loss_fn(model, modal: str = "video", has_frames: bool = True):
+    def loss_fn(params, batch):
+        logits, labels, _ = model.apply(
+            {"params": params},
+            batch["input_ids"],
+            batch.get("frames") if has_frames else None,
+            attention_mask=batch.get("attention_mask"),
+            labels=batch["labels"],
+            guide_ids=batch.get("guide_ids"),
+            guide_mask=batch.get("guide_mask"),
+            modal=modal,
+        )
+        loss, n = causal_lm_loss(logits, labels)
+        return loss, {"loss": loss, "target_tokens": n}
+
+    return loss_fn
+
+
+def make_train_step(model, optimizer, modal: str = "video", has_frames: bool = True):
+    loss_fn = make_loss_fn(model, modal, has_frames)
+
+    def train_step(state: TrainState, batch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def create_sharded_state(model, optimizer, mesh, init_batch, rng, modal="video"):
+    """Initialize TrainState with params/opt-state sharded per the mesh rules.
+
+    Shapes are derived with eval_shape, shardings from the rules (opt-state
+    moments inherit their param's sharding because their tree paths contain the
+    param path), then init runs jitted straight into sharded buffers.
+    """
+
+    def create(rng):
+        variables = model.init(
+            rng,
+            init_batch["input_ids"],
+            init_batch.get("frames"),
+            labels=init_batch.get("labels"),
+            guide_ids=init_batch.get("guide_ids"),
+            guide_mask=init_batch.get("guide_mask"),
+            modal=modal,
+        )
+        params = variables["params"]
+        opt_state = optimizer.init(params)
+        return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+    shapes = jax.eval_shape(create, rng)
+    shardings = param_shardings(shapes, mesh)
+    state = jax.jit(create, out_shardings=shardings)(rng)
+    return state, shardings
+
+
+def compile_train_step(model, optimizer, mesh, state_shardings, modal="video", has_frames=True):
+    step_fn = make_train_step(model, optimizer, modal, has_frames)
+    bs = batch_sharding(mesh)
+
+    def batch_shardings_for(batch):
+        return {k: bs for k in batch}
+
+    def jitted(batch_example):
+        return jax.jit(
+            step_fn,
+            in_shardings=(state_shardings, batch_shardings_for(batch_example)),
+            out_shardings=(state_shardings, None),
+            donate_argnums=(0,),
+        )
+
+    return jitted

@@ -1,0 +1,157 @@
+"""Full-stack API test: reference-format checkpoint on disk → model_init → mm_infer."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+VIS = dict(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+           num_attention_heads=4, image_size=56, patch_size=14)
+TXT = dict(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+           num_attention_heads=4, vocab_size=99, max_position_embeddings=16, projection_size=64)
+QWEN = dict(vocab_size=128, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+            rope_theta=10000.0, tie_word_embeddings=False)
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    """Builds an SFT-layout checkpoint with reference key naming."""
+    root = tmp_path_factory.mktemp("ckpt")
+    tower_dir = root / "siglip-so400m-patch14-384"  # name keyed for geometry only
+    ckpt_dir = root / "HICom_tiny_sft"
+    tower_dir.mkdir()
+    ckpt_dir.mkdir()
+
+    # tower dir: config.json for vision/text config resolution
+    with open(tower_dir / "config.json", "w") as f:
+        json.dump({"model_type": "siglip", "vision_config": VIS, "text_config": TXT}, f)
+
+    torch.manual_seed(0)
+    hf_llm = transformers.Qwen2ForCausalLM(transformers.Qwen2Config(**QWEN)).eval()
+    hf_vis = transformers.SiglipVisionModel(transformers.SiglipVisionConfig(**VIS)).eval()
+    hf_txt = transformers.SiglipTextModel(transformers.SiglipTextConfig(**TXT)).eval()
+
+    # Projector weights are synthesized from our flax module and saved under
+    # reference naming (torch↔flax round-trip itself is covered by the
+    # projector parity tests, which use the reference's real dims).
+    import jax
+    import jax.numpy as jnp
+
+    from hicom_tpu.config import HIComConfig, Qwen2Config, SiglipTextConfig, SiglipVisionConfig
+    from hicom_tpu.models.projector import HIComProjector
+
+    jcfg = HIComConfig(
+        text_config=Qwen2Config(**{k: v for k, v in QWEN.items() if k != "tie_word_embeddings"}, head_dim=16),
+        vision_config=SiglipVisionConfig(**VIS),
+        guide_text_config=SiglipTextConfig(**TXT),
+        mm_vision_tower=str(tower_dir),
+        mm_projector_type="local43_global32",
+        use_guide="direct",
+        num_frames=4,
+        dtype="float32",
+    )
+    jproj = HIComProjector(config=jcfg)
+    rng = np.random.default_rng(0)
+    ff = jnp.asarray(rng.standard_normal((2, 4, 4, VIS["hidden_size"])).astype(np.float32))
+    ge = jnp.asarray(rng.standard_normal((TXT["projection_size"],)).astype(np.float32))
+    jvars = jproj.init(jax.random.PRNGKey(7), ff, ff, ge, "video")
+
+    def flax_to_torch(tree, prefix):
+        out = {}
+        for k, v in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            path = [str(getattr(p, "key", getattr(p, "name", p))) for p in k]
+            leaf = path[-1]
+            arr = torch.from_numpy(np.asarray(v))
+            name = ".".join(path[:-1])
+            if leaf == "kernel":
+                out[f"{prefix}{name}.weight"] = arr.T.contiguous()
+            elif leaf == "scale":
+                out[f"{prefix}{name}.weight"] = arr
+            elif leaf == "bias":
+                out[f"{prefix}{name}.bias"] = arr
+            else:
+                out[f"{prefix}{name}.{leaf}" if name else f"{prefix}{leaf}"] = arr
+        return out
+
+    sd = {}
+    sd.update({k: v for k, v in hf_llm.state_dict().items()})
+    sd.update({f"model.vision_tower.vision_tower.{k}": v for k, v in hf_vis.state_dict().items()})
+    sd.update({f"model.vision_tower.guide_encoder.{k}": v for k, v in hf_txt.state_dict().items()})
+    sd.update(flax_to_torch(jvars["params"], "model.mm_projector."))
+
+    from safetensors.torch import save_file
+
+    save_file({k: v.contiguous() for k, v in sd.items()}, str(ckpt_dir / "model.safetensors"))
+
+    cfg_json = dict(
+        model_type="hicom_qwen2",
+        **{k: v for k, v in QWEN.items()},
+        head_dim=16,
+        eos_token_id=2,
+        pad_token_id=0,
+        mm_vision_tower=str(tower_dir),
+        mm_projector_type="local43_global32",
+        mm_vision_select_layer=-2,
+        use_guide="direct",
+        num_frames=4,
+        mm_hidden_size=VIS["hidden_size"],
+    )
+    with open(ckpt_dir / "config.json", "w") as f:
+        json.dump(cfg_json, f)
+
+    # tiny word-level tokenizer with a chat template
+    from tokenizers import Tokenizer, models as tok_models, pre_tokenizers
+
+    vocab = {"<unk>": 0, "<pad>": 1, "</s>": 2}
+    for i, w in enumerate(["what", "is", "in", "the", "video", "?", "a", "cat", "USER:", "ASSISTANT:", "<video>"]):
+        vocab[w] = 3 + i
+    tk = Tokenizer(tok_models.WordLevel(vocab, unk_token="<unk>"))
+    tk.pre_tokenizer = pre_tokenizers.Whitespace()
+    tk.save(str(ckpt_dir / "tokenizer.json"))
+    with open(ckpt_dir / "tokenizer_config.json", "w") as f:
+        json.dump({
+            "tokenizer_class": "PreTrainedTokenizerFast",
+            "unk_token": "<unk>", "pad_token": "<pad>", "eos_token": "</s>",
+            "chat_template": "{% for m in messages %}{{ m['content'] }}\n{% endfor %}{% if add_generation_prompt %}ASSISTANT:{% endif %}",
+        }, f)
+    return str(ckpt_dir)
+
+
+def test_model_init_and_mm_infer(checkpoint):
+    from hicom_tpu.api import mm_infer, model_init
+
+    model, processor, tokenizer = model_init(checkpoint, dtype="float32", cache_len=256)
+    assert model.config.use_guide == "direct"
+    assert "video" in processor and "image" in processor
+
+    rng = np.random.default_rng(0)
+    video = rng.standard_normal((4, 3, 56, 56)).astype(np.float32)
+    guide_ids = rng.integers(1, TXT["vocab_size"], (1, 16))
+    out = mm_infer(
+        video, "what is in the video ?", model, tokenizer,
+        modal="video", guide_ids=guide_ids, max_new_tokens=6,
+    )
+    assert isinstance(out, str)
+
+
+def test_processor_pipeline(checkpoint, tmp_path):
+    from PIL import Image
+
+    from hicom_tpu.api import model_init
+
+    model, processor, tokenizer = model_init(checkpoint, dtype="float32", cache_len=256)
+    img_path = tmp_path / "img.png"
+    Image.fromarray(np.random.default_rng(1).integers(0, 255, (40, 64, 3), dtype=np.uint8)).save(img_path)
+    pixels, sizes = processor["image"](str(img_path))
+    assert pixels.shape == (1, 3, 56, 56)
+    assert sizes == [(64, 40)]
+
+    # video from ndarray frames
+    frames = np.random.default_rng(2).integers(0, 255, (6, 32, 32, 3), dtype=np.uint8)
+    vid = processor["video"](frames)
+    assert vid.shape[1:] == (3, 56, 56)

@@ -142,3 +142,80 @@ def test_generate_text_only():
         cache_len=64, has_frames=False,
     )
     assert np.asarray(out).shape == (1, 3)
+
+
+def test_generate_batched_right_padding_matches_single():
+    """Rows of different prompt lengths in one right-padded batch must match
+    per-row unpadded generation (cache validity bitmap correctness)."""
+    cfg, model = make_model()
+    rng = np.random.default_rng(7)
+    img = cfg.vision_config.image_size
+    frames = rng.standard_normal((2, 4, 3, img, img)).astype(np.float32)
+    ids_a = rng.integers(5, cfg.text_config.vocab_size, (1, 6))
+    ids_a[0, 1] = VIDEO_TOKEN_INDEX
+    ids_b = rng.integers(5, cfg.text_config.vocab_size, (1, 9))
+    ids_b[0, 1] = VIDEO_TOKEN_INDEX
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(ids_b), jnp.asarray(frames[1:]), modal="video")
+    params = {"params": variables["params"]}
+    eos = cfg.text_config.eos_token_id
+    kw = dict(model=model, modal="video", max_new_tokens=4, eos_token_id=eos, cache_len=128, has_frames=True)
+
+    out_a = np.asarray(generate_tokens(params, jnp.asarray(ids_a), jnp.asarray(frames[:1]), None, None,
+                                       jax.random.PRNGKey(1), **kw))
+    out_b = np.asarray(generate_tokens(params, jnp.asarray(ids_b), jnp.asarray(frames[1:]), None, None,
+                                       jax.random.PRNGKey(1), **kw))
+
+    # batch: right-pad row a to length 9 with pad id, attention mask marks pads
+    pad = np.full((1, 3), 0, dtype=ids_a.dtype)
+    ids_batch = np.concatenate([np.concatenate([ids_a, pad], axis=1), ids_b], axis=0)
+    mask = np.ones((2, 9), dtype=bool)
+    mask[0, 6:] = False
+
+    from hicom_tpu.models.generate import generate_tokens as gt
+
+    def run_batched(m_, params_):
+        import jax as _jax
+
+        def run(m):
+            visual = m.encode_visual(jnp.asarray(frames), None, "video")
+            spliced = m.embed_and_splice(jnp.asarray(ids_batch), visual, jnp.asarray(mask))
+            return spliced
+
+        return None
+
+    # use the public generate path with attention mask via embed_and_splice:
+    # generate_tokens derives the mask internally from input_ids; emulate by
+    # replacing pads with a real token id but masking... instead test the
+    # splice+prefill path directly:
+    from hicom_tpu.models.qwen2 import KVCache
+
+    def prefill_and_decode(params):
+        def run(m):
+            visual = m.encode_visual(jnp.asarray(frames), None, "video")
+            spliced = m.embed_and_splice(jnp.asarray(ids_batch), visual, jnp.asarray(mask))
+            tc = cfg.text_config
+            cache = KVCache.zeros(tc.num_hidden_layers, 2, tc.num_key_value_heads, 128, tc.head_dim, jnp.float32)
+            hidden, cache = m.language_model.model(spliced.embeds, spliced.positions, cache,
+                                                   padding_mask=spliced.attention_mask)
+            true_len = jnp.sum(spliced.attention_mask.astype(jnp.int32), axis=1)
+            last = jnp.take_along_axis(hidden, (true_len - 1)[:, None, None], axis=1)
+            logits = m.language_model.logits(last)[:, 0]
+            toks = [jnp.argmax(logits, axis=-1)]
+            for step in range(1, 4):
+                embeds = m.language_model.embed(toks[-1][:, None])
+                positions = (true_len + step - 1)[:, None]
+                hidden, cache = m.language_model.model(embeds, positions, cache)
+                toks.append(jnp.argmax(m.language_model.logits(hidden)[:, 0], axis=-1))
+            return jnp.stack(toks, axis=1)
+
+        return model.apply(params, method=run)
+
+    out_batch = np.asarray(prefill_and_decode(params))
+
+    def until_eos(seq):
+        seq = list(seq)
+        return seq[: seq.index(eos) + 1] if eos in seq else seq
+
+    assert until_eos(out_batch[0]) == until_eos(out_a[0][:4].tolist()) or out_batch[0].tolist() == out_a[0][:4].tolist()
+    assert out_batch[1].tolist() == out_b[0][:4].tolist()

@@ -1,0 +1,109 @@
+"""Multi-device tests on the virtual 8-CPU mesh: sharded init + train steps."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hicom_tpu.config import tiny_test_config
+from hicom_tpu.constants import IGNORE_INDEX, VIDEO_TOKEN_INDEX
+from hicom_tpu.models.hicom import HIComModel
+from hicom_tpu.parallel import create_mesh, param_shardings
+from hicom_tpu.parallel.sharding import shard_batch_tree
+from hicom_tpu.train.optimizer import build_optimizer, is_tunable, lr_group, trainable_param_count
+from hicom_tpu.train.train_step import TrainState, create_sharded_state, make_train_step
+
+
+def make_batch(cfg, b=8, t=2, L=10, seed=0):
+    rng = np.random.default_rng(seed)
+    img = cfg.vision_config.image_size
+    ids = rng.integers(5, cfg.text_config.vocab_size, (b, L))
+    ids[:, 1] = VIDEO_TOKEN_INDEX
+    labels = np.array(ids)
+    labels[:, :4] = IGNORE_INDEX
+    return {
+        "input_ids": jnp.asarray(ids),
+        "frames": jnp.asarray(rng.standard_normal((b, t, 3, img, img)).astype(np.float32)),
+        "attention_mask": jnp.ones((b, L), dtype=bool),
+        "labels": jnp.asarray(labels),
+    }
+
+
+def test_sharded_train_two_steps_loss_decreases():
+    assert len(jax.devices()) == 8
+    mesh = create_mesh(dp=2, fsdp=2, tp=2)
+    cfg = tiny_test_config()
+    model = HIComModel(config=cfg)
+    batch = make_batch(cfg)
+
+    optimizer = build_optimizer(
+        jax.eval_shape(
+            lambda r: model.init(r, batch["input_ids"], batch["frames"], labels=batch["labels"], modal="video")["params"],
+            jax.random.PRNGKey(0),
+        ),
+        learning_rate=1e-2,
+        total_steps=10,
+        warmup_ratio=0.0,
+        schedule_kind="constant",
+        tunable_parts="mm_projector,language_model",
+    )
+
+    with mesh:
+        state, shardings = create_sharded_state(model, optimizer, mesh, batch, jax.random.PRNGKey(0))
+        # params must actually be sharded: q_proj kernel spans 2 tp shards
+        qk = state.params["language_model"]["model"]["layers_0"]["self_attn"]["q_proj"]["kernel"]
+        assert len(qk.sharding.device_set) > 1
+
+        step = jax.jit(make_train_step(model, optimizer), donate_argnums=0)
+        sharded_batch = shard_batch_tree(batch, mesh)
+        state, m1 = step(state, sharded_batch)
+        state, m2 = step(state, sharded_batch)
+        l1, l2 = float(m1["loss"]), float(m2["loss"])
+    assert np.isfinite(l1) and np.isfinite(l2)
+    assert l2 < l1, (l1, l2)
+
+
+def test_frozen_parts_do_not_move():
+    mesh = create_mesh(dp=8, fsdp=1, tp=1)
+    cfg = tiny_test_config()
+    model = HIComModel(config=cfg)
+    batch = make_batch(cfg, b=8)
+    params_shape = jax.eval_shape(
+        lambda r: model.init(r, batch["input_ids"], batch["frames"], labels=batch["labels"], modal="video")["params"],
+        jax.random.PRNGKey(0),
+    )
+    optimizer = build_optimizer(
+        params_shape, learning_rate=1e-2, total_steps=10, warmup_ratio=0.0,
+        schedule_kind="constant", tunable_parts="mm_projector",  # LLM + tower frozen
+    )
+    with mesh:
+        state, _ = create_sharded_state(model, optimizer, mesh, batch, jax.random.PRNGKey(0))
+        before_llm = np.asarray(state.params["language_model"]["model"]["layers_0"]["self_attn"]["q_proj"]["kernel"])
+        before_proj = np.asarray(state.params["mm_projector"]["global_compressor"]["readout"]["0"]["kernel"])
+        step = jax.jit(make_train_step(model, optimizer))
+        state, _ = step(state, shard_batch_tree(batch, mesh))
+    after_llm = np.asarray(state.params["language_model"]["model"]["layers_0"]["self_attn"]["q_proj"]["kernel"])
+    after_proj = np.asarray(state.params["mm_projector"]["global_compressor"]["readout"]["0"]["kernel"])
+    np.testing.assert_array_equal(before_llm, after_llm)
+    assert np.abs(after_proj - before_proj).max() > 0
+
+
+def test_tunable_matrix_and_lr_groups():
+    # freeze matrix (reference train.py:702-738)
+    assert is_tunable("mm_projector/local_compressor/readout/0/kernel", "mm_projector")
+    assert not is_tunable("mm_projector/local_logit_scale", "mm_projector")
+    assert is_tunable("mm_projector/local_logit_scale", "attn_scale", use_guide="direct")
+    assert not is_tunable("mm_projector/local_logit_scale", "attn_scale", use_guide="off")
+    assert is_tunable("language_model/model/layers_0/mlp/gate_proj/kernel", "language_model")
+    assert is_tunable("image_newline", "language_model")
+    assert not is_tunable("guide_encoder/head/kernel", "language_model")
+    assert is_tunable("guide_encoder/head/kernel", "guide_encoder", use_guide="direct")
+    assert is_tunable("vision_tower/encoder/layers_0/mlp/fc1/kernel", "pure_vision_model")
+    assert not is_tunable("vision_tower/head_mlp/fc1/kernel", "pure_vision_model")
+    assert is_tunable("vision_tower/head_mlp/fc1/kernel", "vision_model_head", use_guide="direct")
+    # LR groups (reference hicom_trainer.py:260-268)
+    assert lr_group("mm_projector/local_compressor/guide_injector/coarse_proj/0/kernel") == "guide"
+    assert lr_group("mm_projector/local_compressor/readout/0/kernel") == "projector"
+    assert lr_group("vision_tower/encoder/layers_0/mlp/fc1/kernel") == "vision"
+    assert lr_group("language_model/lm_head/kernel") == "base"
