@@ -24,9 +24,10 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="tiny config sanity run")
-    ap.add_argument("--batch", type=int, default=2, help="videos per step")
+    ap.add_argument("--batch", type=int, default=1, help="videos per step")
     ap.add_argument("--frames", type=int, default=32)
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--sync-every", type=int, default=2, help="host sync cadence (bounds queued memory)")
     args = ap.parse_args()
 
     import jax
@@ -67,12 +68,24 @@ def main():
     frames = jnp.asarray(rng.standard_normal((b, t, 3, img, img)).astype(np.float32), dtype=jnp.bfloat16)
     gids = jnp.asarray(rng.integers(1, cfg.guide_text_config.vocab_size, (b, 24)))
 
-    # init with a single tiny sample to keep init-forward activations small
+    # Random bf16 params straight from eval_shape: avoids materializing the
+    # fp32 init tree (2B params would be 8GB on a 16GB chip).
     init_ids = input_ids[:1, :8].at[0, 2].set(VIDEO_TOKEN_INDEX)
-    variables = jax.jit(
-        lambda r: model.init(r, init_ids, frames[:1, :1], guide_ids=gids[:1], modal="video")
-    )(jax.random.PRNGKey(0))
-    params = jax.jit(lambda v: jax.tree.map(lambda x: x.astype(jnp.bfloat16), v["params"]), donate_argnums=0)(variables)
+    shapes = jax.eval_shape(
+        lambda r: model.init(r, init_ids, frames[:1, :1], guide_ids=gids[:1], modal="video")["params"],
+        jax.random.PRNGKey(0),
+    )
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def make_params(key):
+        keys = jax.random.split(key, len(leaves))
+        vals = [
+            (jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02) for k, s in zip(keys, leaves)
+        ]
+        return jax.tree_util.tree_unflatten(treedef, vals)
+
+    params = make_params(jax.random.PRNGKey(0))
 
     def pipeline(params, input_ids, frames, gids):
         def run(m):
@@ -89,12 +102,13 @@ def main():
     fn = jax.jit(pipeline)
     float(fn(params, input_ids, frames, gids))  # compile + warm
 
-    # Amortize the ~30ms host<->chip sync: queue all iters, fetch one scalar.
+    # Amortize the ~30ms host<->chip sync: queue sync_every iters per fetch.
     t0 = time.perf_counter()
-    acc = 0.0
-    for _ in range(args.iters):
-        acc = acc + fn(params, input_ids, frames, gids)
-    float(acc)
+    for i in range(0, args.iters, args.sync_every):
+        acc = 0.0
+        for _ in range(min(args.sync_every, args.iters - i)):
+            acc = acc + fn(params, input_ids, frames, gids)
+        float(acc)
     dt = (time.perf_counter() - t0) / args.iters
     frames_per_sec = b * t / dt
 

@@ -1,0 +1,57 @@
+"""Unified eval inference driver: one command per benchmark.
+
+Replaces the reference's per-GPU bash fan-out (``scripts/eval/video/*.sh``):
+the model loads once and the whole question set streams through the chip.
+``--num-chunks/--chunk-idx`` remain for multi-host sharding compatibility.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..api import mm_infer, model_init
+from ..data.prompts import get_model_name_from_path
+from .benchmarks import REGISTRY
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="hicom-tpu benchmark inference")
+    p.add_argument("--benchmark", required=True, choices=sorted(REGISTRY))
+    p.add_argument("--sub-benchmark", default=None, help="image_vqa variant: gqa/pope/vqav2/vizwiz/...")
+    p.add_argument("--model-path", required=True)
+    p.add_argument("--model-base", default=None)
+    p.add_argument("--video-folder", default=None)
+    p.add_argument("--image-folder", default=None)
+    p.add_argument("--subtitle-folder", default=None)
+    p.add_argument("--question-file", required=True)
+    p.add_argument("--answer-gt-file", default=None)
+    p.add_argument("--answer-file", required=True)
+    p.add_argument("--num-chunks", type=int, default=1)
+    p.add_argument("--chunk-idx", type=int, default=0)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--max-new-tokens", type=int, default=1024)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    model, processor, tokenizer = model_init(args.model_path, model_base=args.model_base, dtype=args.dtype)
+    args.model_id = get_model_name_from_path(args.model_path)
+
+    def infer(tensor, instruct, modal="video", image_size=None, guide_instruct=None):
+        kwargs = {}
+        if model.config.guide_enabled() and guide_instruct is not None:
+            kwargs["guide_instruct"] = guide_instruct
+        return mm_infer(
+            tensor, instruct, model, tokenizer, modal=modal, image_size=image_size,
+            do_sample=False, max_new_tokens=args.max_new_tokens, **kwargs,
+        )
+
+    bench = REGISTRY[args.benchmark]()
+    bench.run(args, processor, infer)
+    print(f"done: {args.benchmark} → {args.answer_file}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

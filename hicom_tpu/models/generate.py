@@ -77,8 +77,11 @@ def generate_tokens(
         cache = KVCache.zeros(
             tc.num_hidden_layers, b, tc.num_key_value_heads, cache_len, tc.head_dim, dtype
         )
+        # b=1 unpadded prompts splice to an all-valid mask; passing None lets
+        # the causal flash kernel run the prefill.
+        prefill_pm = None if (attention_mask is None and b == 1 and has_frames) else spliced.attention_mask
         hidden, cache = m.language_model.model(
-            spliced.embeds, spliced.positions, cache, padding_mask=spliced.attention_mask
+            spliced.embeds, spliced.positions, cache, padding_mask=prefill_pm, prefill_from_empty=True
         )
         true_len = jnp.sum(spliced.attention_mask.astype(jnp.int32), axis=1)  # (b,)
         last_idx = true_len - 1

@@ -94,6 +94,7 @@ class DecoderAttention(nn.Module):
         cache_length: Optional[Array] = None,  # (b,)
         cache_valid: Optional[Array] = None,  # (b, S) bool, already including this step
         padding_mask: Optional[Array] = None,  # (b, L) bool; True = real token
+        prefill_from_empty: bool = False,  # static: cache known empty → attend current tokens only
     ):
         b, L, _ = x.shape
         H, KVH, hd = self.num_heads, self.num_kv_heads, self.head_dim
@@ -119,26 +120,40 @@ class DecoderAttention(nn.Module):
             ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, offset, 0))
             cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, offset, 0))
             new_cache_kv = (ck, cv)
-            # Causality over cache SLOTS (append-only), not rope positions:
-            # with right padding the two diverge (pads consume slots but not
-            # positions). Padding slots are excluded via the validity bitmap.
-            kv_slot = jnp.arange(S)[None, None, None, :]  # (1, 1, 1, S)
-            q_slot = (offset + jnp.arange(L))[None, None, :, None]  # (1, 1, L, 1)
-            mask = kv_slot <= q_slot
-            mask = mask & cache_valid[:, None, None, :]
-            k_att, v_att = ck, cv
+            if prefill_from_empty:
+                # cache known empty: attend within the L new tokens only —
+                # avoids an L×cache_len contraction and enables flash.
+                if padding_mask is None:
+                    mask = None
+                else:
+                    kv_pos = jnp.arange(L)[None, None, None, :]
+                    q_pos = jnp.arange(L)[None, None, :, None]
+                    mask = (kv_pos <= q_pos) & padding_mask[:, None, None, :]
+                k_att, v_att = k, v
+            else:
+                # Causality over cache SLOTS (append-only), not rope positions:
+                # with right padding the two diverge (pads consume slots but
+                # not positions). Padding slots are excluded via the bitmap.
+                kv_slot = jnp.arange(S)[None, None, None, :]  # (1, 1, 1, S)
+                q_slot = (offset + jnp.arange(L))[None, None, :, None]  # (1, 1, L, 1)
+                mask = kv_slot <= q_slot
+                mask = mask & cache_valid[:, None, None, :]
+                k_att, v_att = ck, cv
         else:
-            kv_pos = positions[:, None, None, :]  # (b, 1, 1, L)
-            q_pos = positions[:, None, :, None]  # (b, 1, L, 1)
-            mask = kv_pos <= q_pos
-            if padding_mask is not None:
-                mask = mask & padding_mask[:, None, None, :]
+            if padding_mask is None:
+                # positions are arange by construction → plain causal; lets the
+                # auto path pick the Pallas flash kernel on TPU.
+                mask = None
+            else:
+                kv_pos = positions[:, None, None, :]  # (b, 1, 1, L)
+                q_pos = positions[:, None, :, None]  # (b, 1, L, 1)
+                mask = (kv_pos <= q_pos) & padding_mask[:, None, None, :]
             k_att, v_att = k, v
 
         # GQA: repeat kv heads to match q heads.
         k_att = jnp.repeat(k_att, group, axis=1)
         v_att = jnp.repeat(v_att, group, axis=1)
-        out = sdpa(q, k_att, v_att, scale=hd**-0.5, mask=mask)
+        out = sdpa(q, k_att, v_att, scale=hd**-0.5, mask=mask, is_causal=mask is None)
         out = out.transpose(0, 2, 1, 3).reshape(b, L, H * hd)
         out = nn.Dense(self.hidden_size, use_bias=False, dtype=self.dtype, name="o_proj")(out)
         return out, new_cache_kv
@@ -161,14 +176,15 @@ class DecoderLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, positions, cache_kv=None, cache_length=None, cache_valid=None, padding_mask=None):
+    def __call__(self, x, positions, cache_kv=None, cache_length=None, cache_valid=None,
+                 padding_mask=None, prefill_from_empty=False):
         cfg = self.config
         h = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="input_layernorm")(x)
         attn_out, new_cache_kv = DecoderAttention(
             cfg.hidden_size, cfg.num_attention_heads, cfg.num_key_value_heads,
             cfg.head_dim, cfg.rope_theta, cfg.attention_bias,
             dtype=self.dtype, name="self_attn",
-        )(h, positions, cache_kv, cache_length, cache_valid, padding_mask)
+        )(h, positions, cache_kv, cache_length, cache_valid, padding_mask, prefill_from_empty)
         x = x + attn_out
         h = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="post_attention_layernorm")(x)
         x = x + DecoderMLP(cfg.hidden_size, cfg.intermediate_size, dtype=self.dtype, name="mlp")(h)
@@ -202,6 +218,7 @@ class Qwen2Model(nn.Module):
         positions: Array,  # (b, L)
         cache: Optional[KVCache] = None,
         padding_mask: Optional[Array] = None,
+        prefill_from_empty: bool = False,
     ) -> Tuple[Array, Optional[KVCache]]:
         x = inputs_embeds.astype(self.dtype)
         b, L = inputs_embeds.shape[:2]
@@ -215,7 +232,7 @@ class Qwen2Model(nn.Module):
             x, new_cache_kv = layer(
                 x, positions, cache_kv,
                 cache.length if cache is not None else None,
-                cache_valid, padding_mask,
+                cache_valid, padding_mask, prefill_from_empty,
             )
             if new_cache_kv is not None:
                 new_k.append(new_cache_kv[0])

@@ -37,10 +37,34 @@ def sdpa(
     * ``mask``: boolean (..., Q, K); True = attend.
     * fp32 softmax regardless of input dtype; output in q.dtype.
     """
+    if implementation == "auto":
+        # Flash pays off when the logits tile is big and the mask is expressible
+        # in-kernel (causal/padding only). Traced scales (SigLIP logit_scale)
+        # stay on the einsum path.
+        # NOTE: on the axon-tunneled chip each pallas_call carries ~28 ms fixed
+        # dispatch overhead (measured; XLA ops don't), so flash is opt-in here:
+        # set HICOM_FLASH_ATTENTION=1 on directly-attached TPUs.
+        import os as _os
+
+        if (
+            _os.environ.get("HICOM_FLASH_ATTENTION") == "1"
+            and jax.default_backend() == "tpu"
+            and mask is None
+            and not isinstance(scale, jax.core.Tracer)
+            and not isinstance(logit_bias, jax.core.Tracer)
+            and q.shape[-2] * k.shape[-2] >= 64 * 64
+            and q.shape[-1] % 64 == 0
+        ):
+            implementation = "flash"
     if implementation == "flash":
         from .flash_attention import flash_attention
 
-        return flash_attention(q, k, v, scale=scale, logit_bias=logit_bias, mask=mask, is_causal=is_causal)
+        return flash_attention(
+            q, k, v,
+            scale=float(scale) if scale is not None else None,
+            logit_bias=float(logit_bias),
+            mask=mask, is_causal=is_causal,
+        )
 
     d = q.shape[-1]
     if scale is None:

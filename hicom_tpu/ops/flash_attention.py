@@ -1,0 +1,190 @@
+"""Pallas TPU flash attention (forward) with mask / causal / logit-bias support.
+
+Used for the decoder prefill over [visual; text] tokens and the SigLIP encoder
+(seq 729), where materializing (L, L) logits in HBM wastes bandwidth. Streaming
+softmax over KV blocks keeps everything in VMEM: for each query block we scan
+key/value blocks, maintaining the running max/denominator (online softmax) and
+the output accumulator in fp32 scratch.
+
+Grid: (batch*heads, num_q_blocks, num_kv_blocks) with the KV dimension
+innermost so the q-block accumulator lives across the kv scan.
+
+Falls back to the XLA einsum path off-TPU (ops.attention.sdpa handles dispatch);
+``interpret=True`` lets CPU tests run the same kernel code.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+NEG_INF = -1e30
+
+
+def _flash_kernel(
+    q_ref,  # (1, bq, d)
+    k_ref,  # (1, bk, d)
+    v_ref,  # (1, bk, d)
+    o_ref,  # (1, bq, d)
+    acc_ref,  # (bq, d) f32 scratch
+    m_ref,  # (bq, 1) f32 scratch — running max
+    l_ref,  # (bq, 1) f32 scratch — running denominator
+    *,
+    scale: float,
+    logit_bias: float,
+    causal: bool,
+    q_len: int,
+    kv_len: int,
+    block_q: int,
+    block_k: int,
+):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    def compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        logits = logits * scale + logit_bias
+
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = k_pos < kv_len  # padding of the last kv block
+        if causal:
+            mask &= k_pos <= q_pos
+        logits = jnp.where(mask, logits, NEG_INF)
+
+        m_prev = m_ref[:]
+        l_prev = l_ref[:]
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = m_new
+        l_ref[:] = l_new
+
+    if causal:
+        # skip kv blocks fully above the diagonal
+        @pl.when(ki * block_k <= qi * block_q + block_q - 1)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        denom = jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "logit_bias", "is_causal", "block_q", "block_k", "interpret"),
+)
+def _flash_bhld(
+    q: jnp.ndarray,  # (BH, Lq, d)
+    k: jnp.ndarray,  # (BH, Lk, d)
+    v: jnp.ndarray,
+    scale: float,
+    logit_bias: float,
+    is_causal: bool,
+    block_q: int,
+    block_k: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    bh, q_len, d = q.shape
+    kv_len = k.shape[1]
+    bq = min(block_q, max(q_len, 8))
+    bk = min(block_k, max(kv_len, 128))
+    nq = pl.cdiv(q_len, bq)
+    nk = pl.cdiv(kv_len, bk)
+
+    # pad seq lens to block multiples (masked out in-kernel)
+    q_pad = nq * bq - q_len
+    k_pad = nk * bk - kv_len
+    if q_pad:
+        q = jnp.pad(q, ((0, 0), (0, q_pad), (0, 0)))
+    if k_pad:
+        k = jnp.pad(k, ((0, 0), (0, k_pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, k_pad), (0, 0)))
+
+    kernel = functools.partial(
+        _flash_kernel,
+        scale=scale, logit_bias=logit_bias, causal=is_causal,
+        q_len=q_len, kv_len=kv_len, block_q=bq, block_k=bk,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, nq * bq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :q_len]
+
+
+def flash_attention(
+    q: jnp.ndarray,  # (..., Lq, d)
+    k: jnp.ndarray,  # (..., Lk, d)
+    v: jnp.ndarray,
+    *,
+    scale: Optional[Union[float, jnp.ndarray]] = None,
+    logit_bias: Union[float, jnp.ndarray] = 0.0,
+    mask: Optional[jnp.ndarray] = None,
+    is_causal: bool = False,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in replacement for ops.attention.sdpa on TPU.
+
+    Arbitrary boolean masks are not supported in-kernel (only causal/padding);
+    callers with custom masks should use the einsum path.
+    """
+    assert mask is None, "flash_attention supports causal/padding masks only"
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+    scale = float(scale)
+    logit_bias = float(logit_bias)
+
+    lead = q.shape[:-2]
+    q3 = q.reshape((-1,) + q.shape[-2:])
+    k3 = k.reshape((-1,) + k.shape[-2:])
+    v3 = v.reshape((-1,) + v.shape[-2:])
+    out = _flash_bhld(q3, k3, v3, scale, logit_bias, is_causal, block_q, block_k, interpret)
+    return out.reshape(lead + out.shape[-2:])

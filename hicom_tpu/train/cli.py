@@ -1,0 +1,255 @@
+"""Training entry point: the reference's 3-stage recipe on a TPU mesh.
+
+Mirrors the flag surface of ``/root/reference/hicom/train.py`` (stages are
+selected purely by flags, as in ``scripts/qwen2.5_7B/release/*.sh``):
+
+  stage 1 (pretrain):     --is-pretraining --mm-tunable-parts mm_projector --learning-rate 1e-3
+  stage 2 (cond-pretrain):--use-guide direct --pretrain-weights stage1/mm_projector.bin \
+                          --mm-tunable-parts mm_projector --guide-injector-lr 1e-3
+  stage 3 (SFT):          --mm-tunable-parts mm_projector,language_model,vision_model_head,guide_encoder
+
+DeepSpeed/torchrun are replaced by the (dp, fsdp, tp) mesh; ZeRO-3 ≙ fsdp
+sharding; gradient accumulation via optax.MultiSteps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="hicom-tpu trainer")
+    # model
+    p.add_argument("--model-path", required=True, help="base LLM / SFT checkpoint dir")
+    p.add_argument("--vision-tower", default="google/siglip-so400m-patch14-384")
+    p.add_argument("--mm-projector-type", default="local43_global32")
+    p.add_argument("--use-guide", default=None)
+    p.add_argument("--use-clip-scale", default="")
+    p.add_argument("--mm-vision-select-layer", type=int, default=-2)
+    p.add_argument("--mm-tunable-parts", default="mm_projector")
+    p.add_argument("--pretrain-weights", default=None, help="stage-1 mm_projector.bin")
+    p.add_argument("--image-aspect-ratio", default="pad")
+    p.add_argument("--image-grid-pinpoints", default=None)
+    p.add_argument("--mm-patch-merge-type", default="flat")
+    p.add_argument("--mm-newline-position", default="one_token")
+    p.add_argument("--num-frames", type=int, default=8)
+    p.add_argument("--max-num-frames", type=int, default=256)
+    p.add_argument("--model-max-length", type=int, default=4096)
+    p.add_argument("--dtype", default="bfloat16")
+    # data
+    p.add_argument("--data-path", nargs="+", required=True)
+    p.add_argument("--data-folder", default=None)
+    p.add_argument("--is-pretraining", action="store_true")
+    # optimization
+    p.add_argument("--learning-rate", type=float, default=1e-5)
+    p.add_argument("--mm-projector-lr", type=float, default=None)
+    p.add_argument("--vision-tower-lr", type=float, default=None)
+    p.add_argument("--guide-injector-lr", type=float, default=None)
+    p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--warmup-ratio", type=float, default=0.03)
+    p.add_argument("--lr-scheduler-type", default="cosine")
+    p.add_argument("--max-grad-norm", type=float, default=1.0)
+    p.add_argument("--num-train-epochs", type=float, default=1.0)
+    p.add_argument("--per-device-train-batch-size", type=int, default=1)
+    p.add_argument("--gradient-accumulation-steps", type=int, default=1)
+    p.add_argument("--group-by-modality-length", action="store_true", default=True)
+    # parallelism
+    p.add_argument("--dp", type=int, default=None)
+    p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--tp", type=int, default=1)
+    # io
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--save-steps", type=int, default=500)
+    p.add_argument("--logging-steps", type=int, default=10)
+    p.add_argument("--resume", action="store_true", default=True)
+    p.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from .. import weights as W
+    from ..api import _tower_configs
+    from ..config import HIComConfig
+    from ..data.processor import SiglipImagePreprocessor
+    from ..models.hicom import HIComModel
+    from ..parallel import create_mesh
+    from ..parallel.sharding import shard_batch_tree
+    from .checkpoints import export_mm_projector_bin, restore_checkpoint, save_checkpoint
+    from .dataset import Collator, DataArguments, SupervisedDataset, iter_batches
+    from .optimizer import build_optimizer, trainable_param_count
+    from .train_step import TrainState, create_sharded_state, make_train_step
+
+    # ---- config ----
+    with open(os.path.join(args.model_path, "config.json")) as f:
+        base_cfg = json.load(f)
+    base_cfg.setdefault("model_type", "hicom_qwen2" if "qwen" in args.model_path.lower() else base_cfg.get("model_type", "hicom_qwen2"))
+    if not base_cfg["model_type"].startswith("hicom_"):
+        base_cfg["model_type"] = "hicom_qwen2" if "qwen2" in base_cfg["model_type"] else "hicom_llama"
+    cfg = HIComConfig.from_hf_dict(base_cfg)
+    vision_cfg, guide_cfg = _tower_configs(args.vision_tower)
+    cfg = cfg.replace(
+        vision_config=vision_cfg,
+        guide_text_config=guide_cfg,
+        mm_vision_tower=args.vision_tower,
+        mm_projector_type=args.mm_projector_type,
+        mm_vision_select_layer=args.mm_vision_select_layer,
+        mm_patch_merge_type=args.mm_patch_merge_type,
+        mm_newline_position=args.mm_newline_position,
+        image_aspect_ratio=args.image_aspect_ratio,
+        image_grid_pinpoints=args.image_grid_pinpoints,
+        use_guide=args.use_guide,
+        use_clip_scale=args.use_clip_scale,
+        num_frames=args.num_frames,
+        max_num_frames=args.max_num_frames,
+        model_max_length=args.model_max_length,
+        dtype=args.dtype,
+    )
+    model = HIComModel(config=cfg)
+
+    # ---- tokenizers / data ----
+    tokenizer = AutoTokenizer.from_pretrained(args.model_path)
+    if tokenizer.pad_token is None:
+        tokenizer.pad_token = tokenizer.unk_token or tokenizer.eos_token
+    guide_tokenizer = None
+    if cfg.guide_enabled():
+        guide_tokenizer = AutoTokenizer.from_pretrained(args.vision_tower)
+    image_processor = SiglipImagePreprocessor(size=(cfg.vision_config.image_size,) * 2)
+    dargs = DataArguments(
+        data_path=args.data_path,
+        data_folder=args.data_folder,
+        image_aspect_ratio=args.image_aspect_ratio,
+        image_grid_pinpoints=args.image_grid_pinpoints,
+        num_frames=args.num_frames,
+        use_guide=args.use_guide,
+        is_pretraining=args.is_pretraining,
+        image_size=cfg.vision_config.image_size,
+        model_max_length=args.model_max_length,
+    )
+    dataset = SupervisedDataset(tokenizer, dargs, image_processor)
+    collator = Collator(tokenizer, dargs, guide_tokenizer)
+
+    # ---- mesh / optimizer / state ----
+    mesh = create_mesh(dp=args.dp, fsdp=args.fsdp, tp=args.tp)
+    batch_size = args.per_device_train_batch_size * mesh.devices.size
+    steps_per_epoch = max(1, len(dataset) // (batch_size * args.gradient_accumulation_steps))
+    total_steps = int(steps_per_epoch * args.num_train_epochs)
+
+    init_batch = collator([dataset[0]] * batch_size)
+    modal = init_batch.get("modal", "text")
+
+    import optax
+
+    def make_opt(params_shape):
+        tx = build_optimizer(
+            params_shape,
+            learning_rate=args.learning_rate,
+            total_steps=total_steps,
+            warmup_ratio=args.warmup_ratio,
+            weight_decay=args.weight_decay,
+            max_grad_norm=args.max_grad_norm,
+            mm_projector_lr=args.mm_projector_lr,
+            vision_tower_lr=args.vision_tower_lr,
+            guide_injector_lr=args.guide_injector_lr,
+            tunable_parts=args.mm_tunable_parts,
+            use_guide=args.use_guide,
+            schedule_kind=args.lr_scheduler_type,
+        )
+        if args.gradient_accumulation_steps > 1:
+            tx = optax.MultiSteps(tx, args.gradient_accumulation_steps)
+        return tx
+
+    rng = jax.random.PRNGKey(args.seed)
+    params_shape = jax.eval_shape(
+        lambda r: model.init(
+            r, jnp.asarray(init_batch["input_ids"]), jnp.asarray(init_batch.get("frames")),
+            labels=jnp.asarray(init_batch["labels"]),
+            guide_ids=jnp.asarray(init_batch["guide_ids"]) if "guide_ids" in init_batch else None,
+            modal=modal,
+        )["params"],
+        rng,
+    )
+    optimizer = make_opt(params_shape)
+
+    with mesh:
+        state, shardings = create_sharded_state(
+            model, optimizer, mesh,
+            {k: jnp.asarray(v) for k, v in init_batch.items() if not isinstance(v, str)},
+            rng, modal=modal,
+        )
+
+        # ---- load pretrained weights into the fresh state ----
+        loaded: dict = {}
+        llm_sd = W.load_hf_state_dict(args.model_path)
+        loaded["language_model"] = W.convert_decoder(llm_sd, cfg.text_config.tie_word_embeddings)
+        if os.path.isdir(args.vision_tower):
+            tower_sd = W.load_hf_state_dict(args.vision_tower)
+            loaded["vision_tower"] = W.convert_siglip_vision(tower_sd)
+            if cfg.guide_enabled():
+                loaded["guide_encoder"] = W.convert_siglip_text(tower_sd)
+        if args.pretrain_weights:
+            proj_sd = W.load_torch_bin(args.pretrain_weights)
+            loaded["mm_projector"] = W.convert_projector_state(proj_sd, cfg.projector.kind)
+        params = W.merge_params(dict(state.params), loaded)
+        params = jax.tree.map(lambda new, old: jnp.asarray(new, old.dtype), params, dict(state.params))
+        state = TrainState(params, state.opt_state, state.step)
+
+        n_trainable = trainable_param_count(state.params, args.mm_tunable_parts, args.use_guide)
+        print(f"total steps: {total_steps} | batch {batch_size} x accum {args.gradient_accumulation_steps} "
+              f"| trainable params: {n_trainable / 1e6:.1f}M | modal: {modal}")
+
+        if args.resume:
+            restored = restore_checkpoint(args.output_dir, state)
+            if restored is not None:
+                state = restored
+                print(f"resumed from step {int(state.step)}")
+
+        step_fn = jax.jit(make_train_step(model, optimizer, modal=modal), donate_argnums=0)
+
+        t0 = time.time()
+        step = int(state.step)
+        losses = []
+        while step < total_steps * args.gradient_accumulation_steps:
+            made_progress = False
+            for batch in iter_batches(dataset, collator, batch_size, seed=args.seed + step,
+                                      group_by_modality=args.group_by_modality_length):
+                made_progress = True
+                jbatch = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, str)}
+                state, metrics = step_fn(state, shard_batch_tree(jbatch, mesh))
+                step += 1
+                losses.append(metrics["loss"])
+                if step % args.logging_steps == 0:
+                    loss = float(jnp.mean(jnp.stack(losses)))
+                    losses.clear()
+                    rate = step / max(time.time() - t0, 1e-9)
+                    print(f"step {step}/{total_steps} loss {loss:.4f} ({rate:.2f} it/s)")
+                if step % args.save_steps == 0:
+                    save_checkpoint(args.output_dir, jax.device_get(state), step)
+                if step >= total_steps * args.gradient_accumulation_steps:
+                    break
+            if not made_progress:
+                raise RuntimeError(
+                    f"dataset ({len(dataset)} samples) yields no full batches of size {batch_size}; "
+                    "reduce batch size or devices"
+                )
+
+        save_checkpoint(args.output_dir, jax.device_get(state), step)
+        tunable = set(args.mm_tunable_parts.split(","))
+        if tunable <= {"mm_projector", "attn_scale"}:
+            export_mm_projector_bin(jax.device_get(state.params), os.path.join(args.output_dir, "mm_projector.bin"))
+            print(f"exported projector-only weights to {args.output_dir}/mm_projector.bin")
+    print("training done")
+
+
+if __name__ == "__main__":
+    main()

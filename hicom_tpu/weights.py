@@ -122,6 +122,27 @@ def torch_to_flax_params(
     return params
 
 
+def merge_params(template: Any, loaded: Any, path: str = "", strict: bool = False) -> Any:
+    """Overlay ``loaded`` onto ``template``, keeping only keys the template has
+    (e.g. a guide-off model ignores the tower's pooling-head weights).
+
+    strict=True raises if a template leaf has no loaded counterpart.
+    """
+    if isinstance(template, dict):
+        out = {}
+        for k, v in template.items():
+            if isinstance(loaded, dict) and k in loaded:
+                out[k] = merge_params(v, loaded[k], f"{path}/{k}", strict)
+            elif strict:
+                raise KeyError(f"missing weight for {path}/{k}")
+            else:
+                out[k] = v
+        return out
+    if hasattr(loaded, "shape") and tuple(loaded.shape) != tuple(template.shape):
+        raise ValueError(f"shape mismatch at {path}: ckpt {loaded.shape} vs model {template.shape}")
+    return loaded
+
+
 def assert_tree_match(expected: Any, got: Any, path: str = "") -> None:
     """Assert two param trees have identical structure and leaf shapes."""
     import jax

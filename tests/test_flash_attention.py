@@ -1,0 +1,41 @@
+"""Flash attention kernel vs the einsum reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hicom_tpu.ops.attention import sdpa
+from hicom_tpu.ops.flash_attention import flash_attention
+
+
+@pytest.mark.parametrize(
+    "q_len,kv_len,causal",
+    [
+        (256, 256, False),
+        (256, 256, True),
+        (100, 100, True),  # non-divisible by block
+        (37, 729, False),  # cross attention
+        (300, 300, True),  # multiple blocks with diagonal
+        (1, 200, False),  # single-query decode shape
+    ],
+)
+def test_flash_matches_sdpa(q_len, kv_len, causal):
+    rng = np.random.default_rng(0)
+    bh, d = 2, 64
+    q = jnp.asarray(rng.standard_normal((bh, q_len, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((bh, kv_len, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((bh, kv_len, d)).astype(np.float32))
+    ref = sdpa(q, k, v, is_causal=causal)
+    got = flash_attention(q, k, v, is_causal=causal, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_logit_bias():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((1, 64, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 96, 32)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 96, 32)).astype(np.float32))
+    ref = sdpa(q, k, v, scale=0.7, logit_bias=-1.3)
+    got = flash_attention(q, k, v, scale=0.7, logit_bias=-1.3, block_q=32, block_k=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)

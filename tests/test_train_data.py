@@ -1,0 +1,195 @@
+"""Training data pipeline and checkpointing tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from hicom_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX, VIDEO_TOKEN_INDEX
+from hicom_tpu.train.dataset import (
+    Collator,
+    DataArguments,
+    SupervisedDataset,
+    load_mixture,
+    modality_length_grouped_indices,
+    preprocess_chat,
+    preprocess_plain,
+    split_guide_format,
+)
+
+
+class FakeTokenizer:
+    """Word-level tokenizer with a simple chat template."""
+
+    pad_token_id = 0
+
+    def __call__(self, text, add_special_tokens=False):
+        class R:
+            pass
+
+        r = R()
+        r.input_ids = [hash(w) % 1000 + 10 for w in text.split()]
+        return r
+
+    def apply_chat_template(self, messages, tokenize=False, add_generation_prompt=False):
+        s = ""
+        for m in messages:
+            s += f"<|{m['role']}|> {m['content']} <|end|> "
+        if add_generation_prompt:
+            s += "<|assistant|> "
+        return s.strip()
+
+
+def test_preprocess_plain_masks_modal_token():
+    tok = FakeTokenizer()
+    sources = [[{"from": "human", "value": "<image>"}, {"from": "gpt", "value": "a red cat"}]]
+    ids, labels = preprocess_plain(sources, tok, "<image>")
+    assert IMAGE_TOKEN_INDEX in ids[0]
+    pos = list(ids[0]).index(IMAGE_TOKEN_INDEX)
+    assert labels[0][pos] == IGNORE_INDEX
+    assert (labels[0] != IGNORE_INDEX).sum() == 3  # caption supervised
+
+
+def test_preprocess_chat_masks_instructions():
+    tok = FakeTokenizer()
+    sources = [[
+        {"from": "human", "value": "<video>\nwhat happens ?"},
+        {"from": "gpt", "value": "a dog runs"},
+        {"from": "human", "value": "then ?"},
+        {"from": "gpt", "value": "it jumps"},
+    ]]
+    ids, labels = preprocess_chat(sources, tok, "<video>")
+    # both instructions masked, both answers (+ turn ends) supervised
+    n_supervised = (labels[0] != IGNORE_INDEX).sum()
+    assert n_supervised > 0
+    assert labels[0][list(ids[0]).index(VIDEO_TOKEN_INDEX)] == IGNORE_INDEX
+
+    # guided mode: only the last turn supervised
+    ids_g, labels_g = preprocess_chat(sources, tok, "<video>", process_guided=True)
+    assert (labels_g[0] != IGNORE_INDEX).sum() < n_supervised
+
+
+def test_mixture_sampling(tmp_path):
+    rows = [{"id": i, "conversations": []} for i in range(10)]
+    j1 = tmp_path / "a.json"
+    j1.write_text(json.dumps(rows))
+    yml = tmp_path / "mix.yaml"
+    yml.write_text(
+        f"datasets:\n"
+        f"  - json_path: {j1}\n    sampling_strategy: first:3\n"
+        f"  - json_path: {j1}\n    sampling_strategy: end:2\n"
+        f"  - json_path: {j1}\n    sampling_strategy: random:50%\n"
+    )
+    out = load_mixture([str(yml)])
+    assert len(out) == 3 + 2 + 5
+    assert [r["id"] for r in out[:3]] == [0, 1, 2]
+    assert [r["id"] for r in out[3:5]] == [8, 9]
+
+
+def test_guide_split():
+    rows = [{
+        "video": "v.mp4",
+        "conversations": [
+            {"from": "human", "value": "q1"},
+            {"from": "gpt", "value": "a1"},
+            {"from": "human", "value": "q2"},
+            {"from": "gpt", "value": "a2"},
+        ],
+    }]
+    out = split_guide_format(rows)
+    assert len(out) == 2
+    assert len(out[0]["conversations"]) == 2
+    assert len(out[1]["conversations"]) == 4
+    assert out[0]["conversations"][0]["value"].startswith("<video>")
+
+
+def test_dataset_and_collator(tmp_path):
+    from PIL import Image
+
+    from hicom_tpu.data.processor import SiglipImagePreprocessor
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(3):
+        Image.fromarray(np.random.default_rng(i).integers(0, 255, (30, 40, 3), dtype=np.uint8)).save(
+            img_dir / f"{i}.png"
+        )
+    rows = [
+        {"image": f"{i}.png", "conversations": [
+            {"from": "human", "value": "<image>\ndescribe"},
+            {"from": "gpt", "value": f"picture number {i}"},
+        ]}
+        for i in range(3)
+    ] + [{"conversations": [{"from": "human", "value": "hi"}, {"from": "gpt", "value": "hello"}]}]
+    jpath = tmp_path / "data.json"
+    jpath.write_text(json.dumps(rows))
+
+    args = DataArguments(data_path=[str(jpath)], data_folder=str(img_dir), image_size=56, length_bucket=16)
+    proc = SiglipImagePreprocessor(size=(56, 56))
+    ds = SupervisedDataset(FakeTokenizer(), args, proc)
+    assert len(ds) == 4
+    item = ds[0]
+    assert item["frames"].shape == (1, 3, 56, 56)
+    assert item["modal"] == "image"
+
+    coll = Collator(FakeTokenizer(), args)
+    batch = coll([ds[0], ds[1]])
+    assert batch["input_ids"].shape[1] % 16 == 0
+    assert batch["frames"].shape[0] == 2
+    assert batch["attention_mask"].dtype == bool
+    assert (batch["labels"][~batch["attention_mask"]] == IGNORE_INDEX).all()
+
+
+def test_modality_grouped_indices():
+    lengths = [10, -5, 8, -7, 12, -3]  # 3 image, 3 text
+    order = modality_length_grouped_indices(lengths, batch_size=2, world_size=1, seed=0)
+    assert sorted(order) == list(range(6))
+    modal = ["img" if lengths[i] > 0 else "txt" for i in order]
+    # groups are contiguous by modality
+    assert modal in (["img"] * 3 + ["txt"] * 3, ["txt"] * 3 + ["img"] * 3)
+
+
+def test_projector_bin_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from hicom_tpu.config import tiny_test_config
+    from hicom_tpu.models.projector import HIComProjector
+    from hicom_tpu.train.checkpoints import export_mm_projector_bin
+    from hicom_tpu.weights import convert_projector_state, load_torch_bin
+
+    cfg = tiny_test_config()
+    model = HIComProjector(config=cfg)
+    rng = np.random.default_rng(0)
+    ff = jnp.asarray(rng.standard_normal((2, 4, 4, cfg.mm_hidden_size)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), ff, None, None, "video")
+    params = {"mm_projector": variables["params"]}
+
+    path = str(tmp_path / "mm_projector.bin")
+    export_mm_projector_bin(params, path)
+    restored = convert_projector_state(load_torch_bin(path))
+
+    flat_a = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(restored)[0]
+    assert len(flat_a) == len(flat_b)
+    for (ka, va), (kb, vb) in zip(flat_a, flat_b):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        np.testing.assert_allclose(np.asarray(va, np.float16), vb.astype(np.float16), rtol=1e-3, atol=1e-3)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from hicom_tpu.train.checkpoints import restore_checkpoint, save_checkpoint
+    from hicom_tpu.train.train_step import TrainState
+
+    state = TrainState(
+        params={"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)},
+        opt_state={"mu": {"w": jnp.ones((2, 3))}},
+        step=jnp.int32(7),
+    )
+    save_checkpoint(str(tmp_path), state, step=7)
+    restored = restore_checkpoint(str(tmp_path), state)
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.asarray(state.params["w"]))
+    assert int(restored.step) == 7
