@@ -50,6 +50,7 @@ class HICom:
         guide_ids: Optional[np.ndarray] = None,
         guide_mask: Optional[np.ndarray] = None,
         attention_mask: Optional[np.ndarray] = None,
+        visual_embeds: Optional[np.ndarray] = None,
         modal: str = "video",
         max_new_tokens: int = 128,
         do_sample: bool = False,
@@ -63,6 +64,7 @@ class HICom:
         from .models.generate import generate_tokens
 
         temp = float(temperature) if do_sample else 0.0
+        has_frames = frames is not None or visual_embeds is not None
         out = generate_tokens(
             {"params": self.params},
             jnp.asarray(input_ids),
@@ -71,21 +73,57 @@ class HICom:
             jnp.asarray(guide_mask) if guide_mask is not None else None,
             jax.random.PRNGKey(seed),
             jnp.asarray(attention_mask) if attention_mask is not None else None,
+            visual_embeds if visual_embeds is None else jnp.asarray(visual_embeds),
             model=self.model,
-            modal=modal if frames is not None else "text",
+            modal=modal if has_frames else "text",
             max_new_tokens=max_new_tokens,
             temperature=temp,
             top_p=float(top_p),
             eos_token_id=int(self.eos_token_id),
             cache_len=self.cache_len,
-            has_frames=frames is not None,
+            has_frames=has_frames,
         )
         return np.asarray(out)
+
+    def encode_anyres(self, crops: np.ndarray, image_size, guide_ids=None, guide_mask=None) -> np.ndarray:
+        """(n, 3, H, W) anyres crops → (V, hidden) visual tokens."""
+        import jax.numpy as jnp
+
+        crops = jnp.asarray(crops, dtype=jnp.dtype(self.config.dtype))
+
+        def run(m):
+            ge = None
+            if self.config.guide_enabled() and guide_ids is not None:
+                ge = m.encode_guide(
+                    jnp.asarray(guide_ids),
+                    jnp.asarray(guide_mask) if guide_mask is not None else None,
+                )[0]
+            return m.encode_visual_anyres(crops, tuple(image_size), ge)
+
+        return np.asarray(self.model.apply({"params": self.params}, method=run))
 
 
 def _tower_configs(tower_path: str):
     """Vision/guide-text configs: from a local tower directory's config.json,
     else baked defaults for the known tower names."""
+    is_clip = "clip" in tower_path and "siglip" not in tower_path
+    if is_clip:
+        from .models.clip import ClipTextConfig, ClipVisionConfig
+
+        if os.path.isdir(tower_path):
+            with open(os.path.join(tower_path, "config.json")) as f:
+                d = json.load(f)
+            vd = d.get("vision_config", {})
+            td = d.get("text_config", {})
+            vkeys = {f.name for f in __import__("dataclasses").fields(ClipVisionConfig)}
+            tkeys = {f.name for f in __import__("dataclasses").fields(ClipTextConfig)}
+            vd = {k: v for k, v in vd.items() if k in vkeys}
+            td = {k: v for k, v in td.items() if k in tkeys}
+            if "projection_dim" in d:
+                vd.setdefault("projection_dim", d["projection_dim"])
+                td.setdefault("projection_dim", d["projection_dim"])
+            return ClipVisionConfig(**vd), ClipTextConfig(**td)
+        return ClipVisionConfig(), ClipTextConfig()
     if os.path.isdir(tower_path):
         with open(os.path.join(tower_path, "config.json")) as f:
             d = json.load(f)
@@ -133,7 +171,11 @@ def load_model(
     is_pretrain_artifact = os.path.exists(os.path.join(model_path, "mm_projector.bin"))
     cfg = HIComConfig.from_hf_dict(raw_cfg)
     vision_cfg, guide_cfg = _tower_configs(cfg.mm_vision_tower)
-    cfg = cfg.replace(vision_config=vision_cfg, guide_text_config=guide_cfg, dtype=dtype)
+    # CLIP compression keys live in the contrastive projection space (768),
+    # not the tower hidden size (reference projector.py:410-411).
+    qk_override = getattr(vision_cfg, "projection_dim", None)
+    cfg = cfg.replace(vision_config=vision_cfg, guide_text_config=guide_cfg, dtype=dtype,
+                      projector_qk_dim=qk_override)
 
     spec = cfg.projector
     params: Dict[str, Any] = {}
@@ -157,10 +199,11 @@ def load_model(
         if not tower_sd:  # frozen tower (delay_load): pull from the tower dir
             tower_sd = W.load_hf_state_dict(cfg.mm_vision_tower)
 
+    is_clip = "clip" in cfg.mm_vision_tower and "siglip" not in cfg.mm_vision_tower
     params["language_model"] = W.convert_decoder(llm_sd, cfg.text_config.tie_word_embeddings)
-    params["vision_tower"] = W.convert_siglip_vision(tower_sd)
+    params["vision_tower"] = W.convert_clip_vision(tower_sd) if is_clip else W.convert_siglip_vision(tower_sd)
     if cfg.guide_enabled():
-        params["guide_encoder"] = W.convert_siglip_text(tower_sd)
+        params["guide_encoder"] = W.convert_clip_text(tower_sd) if is_clip else W.convert_siglip_text(tower_sd)
     if proj_sd:
         params["mm_projector"] = W.convert_projector_state(proj_sd, spec.kind)
         use_cs = [s for s in (cfg.use_clip_scale or "").split(",") if s]
@@ -291,12 +334,26 @@ def mm_infer(
             guide_ids = enc["input_ids"]
             guide_mask = enc.get("attention_mask")
 
+    visual_embeds = None
+    if (
+        modal == "image"
+        and frames is not None
+        and frames.shape[1] > 1
+        and "anyres" in (model.config.image_aspect_ratio or "")
+    ):
+        # multi-crop anyres image: merge features per the patch-merge config,
+        # then generate from precomputed visual tokens (shape depends on the
+        # original image size — jitted per shape).
+        visual_embeds = model.encode_anyres(frames[0], image_size, guide_ids, guide_mask)[None]
+        frames = None
+
     out = model.generate(
         ids,
         frames=frames,
         guide_ids=guide_ids,
         guide_mask=guide_mask,
         attention_mask=mask,
+        visual_embeds=visual_embeds,
         modal=modal,
         max_new_tokens=kwargs.get("max_new_tokens", 2048),
         do_sample=kwargs.get("do_sample", False),

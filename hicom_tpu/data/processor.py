@@ -23,13 +23,40 @@ class SiglipImagePreprocessor:
         image_std: Sequence[float] = (0.5, 0.5, 0.5),
         size=(384, 384),
         rescale_factor: float = 1 / 255,
+        use_native: str = "auto",  # "auto" | "always" | "never"
     ):
         self.image_mean = tuple(image_mean)
         self.image_std = tuple(image_std)
         self.size = tuple(size)
         self.rescale_factor = rescale_factor
+        self.use_native = use_native
         # reference CLIPImageProcessor compatibility
         self.crop_size = {"height": size[0], "width": size[1]}
+
+    def _try_native(self, images) -> "np.ndarray | None":
+        """Multithreaded C++ fast path when frames form one uint8 stack."""
+        if self.use_native == "never" or self.size[0] != self.size[1]:
+            return None
+        from . import native
+
+        if not native.native_available():
+            return None
+        arrs = []
+        for img in images:
+            if isinstance(img, Image.Image):
+                if img.mode != "RGB":
+                    img = img.convert("RGB")
+                arrs.append(np.asarray(img))
+            else:
+                a = np.asarray(img)
+                if a.dtype != np.uint8 or a.ndim != 3 or a.shape[-1] != 3:
+                    return None
+                arrs.append(a)
+        if len({a.shape for a in arrs}) != 1:
+            return None
+        return native.preprocess_frames(
+            np.stack(arrs), self.size[0], self.image_mean, self.image_std, self.rescale_factor
+        )
 
     def _to_pil(self, image) -> Image.Image:
         if isinstance(image, Image.Image):
@@ -39,6 +66,10 @@ class SiglipImagePreprocessor:
     def preprocess(self, images: Union[Image.Image, Iterable], return_tensors: str = "np") -> dict:
         if isinstance(images, Image.Image):
             images = [images]
+        images = list(images)
+        native_out = self._try_native(images)
+        if native_out is not None:
+            return {"pixel_values": native_out}
         arrs: List[np.ndarray] = []
         for img in images:
             pil = self._to_pil(img)

@@ -48,6 +48,7 @@ def generate_tokens(
     guide_mask: Optional[Array],
     rng: Array,
     attention_mask: Optional[Array] = None,  # (b, L) bool; None = all real
+    visual_embeds: Optional[Array] = None,  # (b, V, D) precomputed (anyres path)
     *,
     model,
     modal: str = "video",
@@ -64,8 +65,8 @@ def generate_tokens(
         cfg = m.config
         b = input_ids.shape[0]
 
-        visual = None
-        if has_frames:
+        visual = visual_embeds
+        if has_frames and visual is None:
             guide_embeds = None
             if cfg.guide_enabled():
                 guide_embeds = m.encode_guide(guide_ids, guide_mask)

@@ -45,15 +45,29 @@ class HIComModel(nn.Module):
         dtype = _dtype_of(cfg)
         self.dtype = dtype
         need_head = cfg.guide_enabled()  # image_embeds used as compression keys
-        self.vision_tower = SiglipVisionTower(
-            config=cfg.vision_config,
-            select_layer=cfg.mm_vision_select_layer,
-            with_head=need_head,
-            dtype=dtype,
-            name="vision_tower",
-        )
-        if cfg.guide_enabled():
-            self.guide_encoder = SiglipTextEncoder(config=cfg.guide_text_config, dtype=dtype, name="guide_encoder")
+        is_clip = "clip" in (cfg.mm_vision_tower or "") and "siglip" not in (cfg.mm_vision_tower or "")
+        if is_clip:
+            from .clip import ClipTextEncoder, ClipVisionTower
+
+            self.vision_tower = ClipVisionTower(
+                config=cfg.vision_config,
+                select_layer=cfg.mm_vision_select_layer,
+                with_projection=need_head,
+                dtype=dtype,
+                name="vision_tower",
+            )
+            if cfg.guide_enabled():
+                self.guide_encoder = ClipTextEncoder(config=cfg.guide_text_config, dtype=dtype, name="guide_encoder")
+        else:
+            self.vision_tower = SiglipVisionTower(
+                config=cfg.vision_config,
+                select_layer=cfg.mm_vision_select_layer,
+                with_head=need_head,
+                dtype=dtype,
+                name="vision_tower",
+            )
+            if cfg.guide_enabled():
+                self.guide_encoder = SiglipTextEncoder(config=cfg.guide_text_config, dtype=dtype, name="guide_encoder")
         spec = cfg.projector
         if spec.kind == "hicom":
             self.mm_projector = HIComProjector(config=cfg, dtype=dtype, name="mm_projector")
@@ -90,11 +104,9 @@ class HIComModel(nn.Module):
         b, t = frames.shape[:2]
         flat = frames.reshape((b * t,) + frames.shape[2:])
         features, image_embeds = self.vision_tower(flat)
-        hw = cfg.vision_config.num_patches_per_side
-        d = cfg.vision_config.hidden_size
-        features = features.reshape(b, t, hw, hw, d)
+        features = features.reshape((b, t) + features.shape[1:])
         if image_embeds is not None:
-            image_embeds = image_embeds.reshape(b, t, hw, hw, d)
+            image_embeds = image_embeds.reshape((b, t) + image_embeds.shape[1:])
 
         spec = cfg.projector
         if spec.kind in ("mlp", "linear"):
@@ -110,6 +122,38 @@ class HIComModel(nn.Module):
             split_rngs={"params": False},
         )
         return vp(self.mm_projector, features, image_embeds, guide_embeds, modal, nl)
+
+    def encode_visual_anyres(
+        self,
+        frames: Array,  # (n, 3, H, W): crop 0 = base image + grid patches
+        image_size,  # host tuple (width, height) of the original image
+        guide_embeds: Optional[Array] = None,  # (d,) or (Lg, d)
+    ) -> Array:
+        """Single anyres image → (V, hidden) tokens. Shapes depend on the host
+        image_size, so callers jit per resulting shape (eval path)."""
+        from .anyres import process_anyres_image_feature
+
+        cfg = self.config
+        features, image_embeds = self.vision_tower(frames)
+        tower_size = cfg.vision_config.image_size
+        feat = process_anyres_image_feature(features, image_size, cfg, tower_size)
+        emb = None
+        if image_embeds is not None:
+            emb = process_anyres_image_feature(image_embeds, image_size, cfg, tower_size)
+        nl = self.image_newline.astype(self.dtype) if self.image_newline is not None else None
+        spec = cfg.projector
+        if spec.kind in ("mlp", "linear"):
+            parts = []
+            if isinstance(feat, dict):
+                if feat["base"] is not None:
+                    base = self.mm_projector(feat["base"][None])
+                    parts.append(post_process_visual_feature(cfg, base, "image", nl, is_anyres=False))
+                patch = self.mm_projector(feat["patch"][None])
+                parts.append(post_process_visual_feature(cfg, patch, "image", nl, is_anyres=True))
+                return jnp.concatenate(parts, axis=-2)
+            proj = self.mm_projector(feat)
+            return post_process_visual_feature(cfg, proj, "image", nl, is_anyres=False)
+        return self.mm_projector(feat, emb, guide_embeds, "image", nl)
 
     def _mean_pool_project(self, features: Array, modal: str) -> Array:
         """Baseline mlp/linear path (reference hicom_arch.py:193-208): project,

@@ -212,6 +212,51 @@ def convert_siglip_text(state_dict: Mapping[str, np.ndarray]) -> dict:
     return torch_to_flax_params(state_dict, rename)
 
 
+def convert_clip_vision(state_dict: Mapping[str, np.ndarray]) -> dict:
+    """HF CLIPVisionModelWithProjection → flax ClipVisionTower params."""
+
+    def rename(key: str) -> Optional[str]:
+        if key.startswith("vision_tower."):  # SFT checkpoint nesting
+            key = key[len("vision_tower."):]
+        if key == "visual_projection.weight":
+            return key
+        if not key.startswith("vision_model."):
+            return None
+        key = key[len("vision_model."):]
+        if key == "embeddings.class_embedding":
+            return "class_embedding"
+        if key == "embeddings.position_embedding.weight":
+            return "position_embedding"
+        key = key.replace("embeddings.patch_embedding", "patch_embedding")
+        key = re.sub(r"encoder\.layers\.(\d+)\.self_attn\.", r"layers_\1.", key)
+        key = re.sub(r"encoder\.layers\.(\d+)\.", r"layers_\1.", key)
+        return key
+
+    return torch_to_flax_params(state_dict, rename)
+
+
+def convert_clip_text(state_dict: Mapping[str, np.ndarray]) -> dict:
+    """HF CLIPTextModelWithProjection → flax ClipTextEncoder params."""
+
+    def rename(key: str) -> Optional[str]:
+        if key.startswith("guide_encoder."):
+            key = key[len("guide_encoder."):]
+        if key == "text_projection.weight":
+            return key
+        if not key.startswith("text_model."):
+            return None
+        key = key[len("text_model."):]
+        if key == "embeddings.token_embedding.weight":
+            return "token_embedding"
+        if key == "embeddings.position_embedding.weight":
+            return "position_embedding"
+        key = re.sub(r"encoder\.layers\.(\d+)\.self_attn\.", r"layers_\1.", key)
+        key = re.sub(r"encoder\.layers\.(\d+)\.", r"layers_\1.", key)
+        return key
+
+    return torch_to_flax_params(state_dict, rename)
+
+
 def convert_decoder(state_dict: Mapping[str, np.ndarray], tie_word_embeddings: bool = False) -> dict:
     """HF Qwen2/Llama ForCausalLM → flax Qwen2ForCausalLM params.
 

@@ -141,3 +141,31 @@ def test_qwen2_padding_mask():
     np.testing.assert_allclose(
         np.asarray(logits_pad[:, :7]), np.asarray(logits_ref), rtol=2e-4, atol=2e-4
     )
+
+
+LLAMA = dict(vocab_size=128, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+             num_attention_heads=4, num_key_value_heads=4, max_position_embeddings=128,
+             rope_theta=10000.0, tie_word_embeddings=False)
+
+
+def test_llama_forward_parity():
+    """The same decoder module serves Llama (no QKV bias, rope 1e4)."""
+    hf_cfg = transformers.LlamaConfig(**LLAMA)
+    torch.manual_seed(5)
+    hf = transformers.LlamaForCausalLM(hf_cfg).eval()
+    cfg = hcfg.LlamaConfig(head_dim=16, attention_bias=False, rms_norm_eps=1e-6, **LLAMA)
+    model = Qwen2ForCausalLM(config=cfg)
+    params = convert_decoder({k: v.numpy() for k, v in hf.state_dict().items()})
+
+    ids = np.random.default_rng(5).integers(0, 128, (2, 9))
+    with torch.no_grad():
+        ref_logits = hf(torch.from_numpy(ids)).logits.numpy()
+    positions = jnp.broadcast_to(jnp.arange(9)[None], (2, 9))
+    expected = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(ids), positions,
+        method=lambda m, i, p: m(m.embed(i), p),
+    )["params"]
+    assert_tree_match(expected, params)
+    bound = model.bind({"params": params})
+    logits, _ = model.apply({"params": params}, bound.embed(jnp.asarray(ids)), positions)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=3e-4, atol=3e-4)
