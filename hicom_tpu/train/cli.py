@@ -90,6 +90,7 @@ def main(argv=None):
     from .optimizer import build_optimizer, trainable_param_count
     from .train_step import TrainState, create_sharded_state, make_train_step
 
+    os.makedirs(args.output_dir, exist_ok=True)
     # ---- config ----
     with open(os.path.join(args.model_path, "config.json")) as f:
         base_cfg = json.load(f)
@@ -233,6 +234,9 @@ def main(argv=None):
                     losses.clear()
                     rate = step / max(time.time() - t0, 1e-9)
                     print(f"step {step}/{total_steps} loss {loss:.4f} ({rate:.2f} it/s)")
+                    with open(os.path.join(args.output_dir, "metrics.jsonl"), "a") as mf:
+                        mf.write(json.dumps({"step": step, "loss": loss, "it_per_s": rate,
+                                             "time": time.time()}) + "\n")
                 if step % args.save_steps == 0:
                     save_checkpoint(args.output_dir, jax.device_get(state), step)
                 if step >= total_steps * args.gradient_accumulation_steps:

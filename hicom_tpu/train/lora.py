@@ -1,0 +1,134 @@
+"""LoRA adapters as a parameter-tree overlay.
+
+The reference wraps the model with peft (``train.py:619-635``; targets = all LLM
+linears except projector/tower, ``hicom_trainer.py:75-88``). Here LoRA is a
+functional overlay: low-rank (A, B) factors live in their own pytree; the loss
+function merges ``W_eff = W + (alpha/r) * A @ B`` at trace time, so only the
+factors receive gradients/optimizer state (the ZeRO-dominant cost), while XLA
+fuses the merge into the matmuls.
+
+Adapters export to the peft-compatible ``adapter_model.bin`` layout so
+reference tooling can merge them.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# peft-equivalent default targets: decoder linears, never projector/tower/embeds
+DEFAULT_TARGET = r"language_model/.*(q_proj|k_proj|v_proj|o_proj|gate_proj|up_proj|down_proj)/kernel$"
+
+
+def _paths(tree):
+    from ..parallel.sharding import path_str
+
+    return [(path_str(p), v) for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]]
+
+
+def target_kernels(params: Any, target_regex: str = DEFAULT_TARGET) -> Dict[str, Tuple[int, int]]:
+    """{path: (in_dim, out_dim)} of kernels LoRA attaches to."""
+    out = {}
+    for path, leaf in _paths(params):
+        if re.search(target_regex, path) and getattr(leaf, "ndim", 0) == 2:
+            out[path] = tuple(leaf.shape)
+    return out
+
+
+def init_lora_params(
+    params: Any,
+    rank: int = 8,
+    rng: Optional[jax.Array] = None,
+    target_regex: str = DEFAULT_TARGET,
+    dtype=jnp.float32,
+) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """{path: {"a": (in, r) kaiming-ish, "b": (r, out) zeros}} — B zero-init so
+    the overlay starts as identity (peft convention)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    targets = target_kernels(params, target_regex)
+    keys = jax.random.split(rng, max(len(targets), 1))
+    out = {}
+    for (path, (din, dout)), key in zip(sorted(targets.items()), keys):
+        a = jax.random.normal(key, (din, rank), dtype) * (1.0 / np.sqrt(din))
+        b = jnp.zeros((rank, dout), dtype)
+        out[path] = {"a": a, "b": b}
+    return out
+
+
+def apply_lora(params: Any, lora: Dict[str, Dict[str, jnp.ndarray]], alpha: float = 16.0, rank: int = 8) -> Any:
+    """Merged parameter tree: W + (alpha/rank) * A @ B at targeted kernels."""
+    scaling = alpha / rank
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    from ..parallel.sharding import path_str
+
+    leaves, treedef = flat
+    merged = []
+    for path_entries, leaf in leaves:
+        path = path_str(path_entries)
+        if path in lora:
+            ab = lora[path]
+            delta = (ab["a"] @ ab["b"]) * scaling
+            merged.append(leaf + delta.astype(leaf.dtype))
+        else:
+            merged.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, merged)
+
+
+def make_lora_loss_fn(base_loss_fn: Callable, params: Any, alpha: float = 16.0, rank: int = 8):
+    """Wrap a loss(params, batch) into loss(lora, batch) with frozen base params."""
+
+    def loss_fn(lora, batch):
+        return base_loss_fn(apply_lora(params, lora, alpha, rank), batch)
+
+    return loss_fn
+
+
+def export_peft_adapter(lora: Dict[str, Dict[str, jnp.ndarray]], path: str, alpha: float = 16.0, rank: int = 8):
+    """Write peft-layout adapter weights: ``base_model.model.<torch path>.
+    lora_A.weight`` (r, in) / ``lora_B.weight`` (out, r) fp32 + config json."""
+    import json
+    import os
+
+    import torch
+
+    sd = {}
+    for p, ab in lora.items():
+        torch_path = p.replace("language_model/", "").replace("/kernel", "").replace("/", ".")
+        torch_path = re.sub(r"layers_(\d+)", r"layers.\1", torch_path)
+        sd[f"base_model.model.{torch_path}.lora_A.weight"] = torch.from_numpy(
+            np.asarray(ab["a"], np.float32).T.copy()
+        )
+        sd[f"base_model.model.{torch_path}.lora_B.weight"] = torch.from_numpy(
+            np.asarray(ab["b"], np.float32).T.copy()
+        )
+    os.makedirs(path, exist_ok=True)
+    torch.save(sd, os.path.join(path, "adapter_model.bin"))
+    with open(os.path.join(path, "adapter_config.json"), "w") as f:
+        json.dump({"peft_type": "LORA", "r": rank, "lora_alpha": alpha,
+                   "target_modules": ["q_proj", "k_proj", "v_proj", "o_proj",
+                                      "gate_proj", "up_proj", "down_proj"]}, f)
+
+
+def load_peft_adapter(path: str) -> Tuple[Dict[str, Dict[str, jnp.ndarray]], float, int]:
+    """Read a peft adapter directory back into the overlay format."""
+    import json
+    import os
+
+    import torch
+
+    with open(os.path.join(path, "adapter_config.json")) as f:
+        cfg = json.load(f)
+    sd = torch.load(os.path.join(path, "adapter_model.bin"), map_location="cpu", weights_only=True)
+    lora: Dict[str, Dict[str, jnp.ndarray]] = {}
+    for key, val in sd.items():
+        m = re.match(r"base_model\.model\.(.*)\.lora_([AB])\.weight", key)
+        if not m:
+            continue
+        torch_path, which = m.groups()
+        p = "language_model/" + re.sub(r"layers\.(\d+)", r"layers_\1", torch_path).replace(".", "/") + "/kernel"
+        lora.setdefault(p, {})[{"A": "a", "B": "b"}[which]] = jnp.asarray(val.float().numpy().T)
+    return lora, float(cfg.get("lora_alpha", 16)), int(cfg.get("r", 8))
