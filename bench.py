@@ -92,7 +92,8 @@ def main():
             ge = m.encode_guide(gids)
             visual = m.encode_visual(frames, ge, "video")
             spliced = m.embed_and_splice(input_ids, visual)
-            hidden, _ = m.language_model.model(spliced.embeds, spliced.positions, padding_mask=spliced.attention_mask)
+            # prompts are unpadded → mask-free causal prefill (flash-eligible)
+            hidden, _ = m.language_model.model(spliced.embeds, spliced.positions)
             # scalar output: on this TPU tunnel, block_until_ready is a no-op
             # and D2H is ~2MB/s, so timing must fetch a scalar.
             return jnp.sum(m.language_model.logits(hidden[:, -1:]).astype(jnp.float32))

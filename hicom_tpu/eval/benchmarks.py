@@ -370,6 +370,30 @@ class VCGPTConsistency:
         ans.close()
 
 
+@register("msvc")
+class MSVCCaption:
+    """MSVC multi-reference video captioning: generate one caption per video;
+    the GPT judge scores correctness/detailedness vs the reference captions."""
+
+    formats = [".mp4", ".webm", ".avi", ".mov", ".mkv"]
+
+    def run(self, args, processor, infer: Infer):
+        questions = load_questions(args.question_file)
+        questions = get_chunk(questions, args.num_chunks, args.chunk_idx)
+        ans = open_answer_file(args.answer_file)
+        for sample in questions:
+            name = os.path.splitext(os.path.basename(sample["video_path"]))[0] if "video_path" in sample else sample["video_name"]
+            video_path = sample.get("video_path") or _find_media(args.video_folder, name, self.formats)
+            if args.video_folder and not os.path.isabs(video_path):
+                video_path = os.path.join(args.video_folder, video_path)
+            tensor = processor["video"](video_path)
+            q = sample.get("question", "Please describe the video in detail.")
+            out = infer(tensor, q, modal="video", guide_instruct=q)
+            write_jsonl(ans, {"video_name": name, "question": q,
+                              "answer": sample.get("captions", sample.get("answer")), "pred": out})
+        ans.close()
+
+
 # --------------------------------------------------------------------------- #
 # Image VQA (gqa / pope / vqav2 / vizwiz / MME / textvqa / ...)
 # --------------------------------------------------------------------------- #

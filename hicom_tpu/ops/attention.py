@@ -52,7 +52,9 @@ def sdpa(
             and not isinstance(scale, jax.core.Tracer)
             and not isinstance(logit_bias, jax.core.Tracer)
             and q.shape[-2] * k.shape[-2] >= 128 * 128
-            and q.shape[-1] % 8 == 0
+            # d must be lane-aligned: at d=72 (SigLIP) the kernel pads to 128
+            # and loses to XLA's fused einsum end-to-end (measured).
+            and q.shape[-1] % 64 == 0
         ):
             implementation = "flash"
     if implementation == "flash":

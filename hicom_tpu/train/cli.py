@@ -249,9 +249,22 @@ def main(argv=None):
 
         save_checkpoint(args.output_dir, jax.device_get(state), step)
         tunable = set(args.mm_tunable_parts.split(","))
+        final_params = jax.device_get(state.params)
         if tunable <= {"mm_projector", "attn_scale"}:
-            export_mm_projector_bin(jax.device_get(state.params), os.path.join(args.output_dir, "mm_projector.bin"))
+            # projector-only stages export the reference's mm_projector.bin
+            export_mm_projector_bin(final_params, os.path.join(args.output_dir, "mm_projector.bin"))
             print(f"exported projector-only weights to {args.output_dir}/mm_projector.bin")
+        else:
+            # full SFT: reference-layout HF checkpoint (+ tokenizer files)
+            from ..weights import export_hf_checkpoint
+
+            export_dir = os.path.join(args.output_dir, "hf_export")
+            export_hf_checkpoint(dict(final_params), cfg, export_dir)
+            try:
+                tokenizer.save_pretrained(export_dir)
+            except Exception:
+                pass
+            print(f"exported SFT checkpoint to {export_dir}")
     print("training done")
 
 

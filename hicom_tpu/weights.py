@@ -280,6 +280,107 @@ def convert_decoder(state_dict: Mapping[str, np.ndarray], tie_word_embeddings: b
 
 
 # --------------------------------------------------------------------------- #
+# Reverse conversion: flax params → reference-format HF checkpoint
+# --------------------------------------------------------------------------- #
+
+
+def flax_to_torch_state(tree: Any, prefix: str = "", embedding_leaves: Tuple[str, ...] = ()) -> Dict[str, "np.ndarray"]:
+    """Flatten a flax subtree into torch-style keys: kernel→weight (transposed;
+    conv HWIO→OIHW), scale→weight, bias→bias; named embedding leaves stay raw
+    under ``<name>.weight``."""
+    import jax
+
+    out: Dict[str, np.ndarray] = {}
+    for key_path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        parts = []
+        for p in key_path:
+            if hasattr(p, "key"):
+                parts.append(str(p.key))
+            elif hasattr(p, "name"):
+                parts.append(str(p.name))
+            else:
+                parts.append(str(p))
+        leaf_name = parts[-1]
+        name = ".".join(parts[:-1])
+        arr = np.asarray(leaf)
+        if leaf_name == "kernel":
+            if arr.ndim == 4:
+                out[f"{prefix}{name}.weight"] = np.ascontiguousarray(arr.transpose(3, 2, 0, 1))
+            else:
+                out[f"{prefix}{name}.weight"] = np.ascontiguousarray(arr.T)
+        elif leaf_name == "scale":
+            out[f"{prefix}{name}.weight"] = arr
+        elif leaf_name == "bias":
+            out[f"{prefix}{name}.bias"] = arr
+        elif leaf_name == "embedding":
+            # nn.Embed param → torch Embedding.weight (no transpose)
+            out[f"{prefix}{name}.weight"] = arr
+        else:
+            full = f"{prefix}{name}.{leaf_name}" if name else f"{prefix}{leaf_name}"
+            out[full] = arr
+    return out
+
+
+def export_hf_checkpoint(params: Dict[str, Any], config, output_dir: str, dtype: str = "float16") -> None:
+    """Write a reference-layout SFT checkpoint (config.json + model.safetensors)
+    consumable by both this framework and the reference's ``load_pretrained_model``
+    (equivalent of ``safe_save_model_for_hf_trainer``, hicom_trainer.py:91-126)."""
+    import os
+
+    from safetensors.numpy import save_file
+
+    os.makedirs(output_dir, exist_ok=True)
+    sd: Dict[str, np.ndarray] = {}
+
+    def fix_decoder_keys(d):
+        out = {}
+        for k, v in d.items():
+            k = re.sub(r"model\.layers_(\d+)\.", r"model.layers.\1.", k)
+            k = k.replace("model.embed_tokens.embedding.weight", "model.embed_tokens.weight")
+            out[k] = v
+        return out
+
+    sd.update(fix_decoder_keys(flax_to_torch_state(params["language_model"])))
+
+    def fix_tower_keys(d, is_text):
+        exact = {
+            "token_embedding": "embeddings.token_embedding.weight",
+            "position_embedding": "embeddings.position_embedding.weight",
+            "class_embedding": "embeddings.class_embedding",
+        }
+        out = {}
+        for k, v in d.items():
+            k = exact.get(k, k)
+            k = re.sub(r"encoder\.layers_(\d+)\.", r"encoder.layers.\1.", k)
+            if k.startswith("patch_embedding."):
+                k = "embeddings." + k
+            k = k.replace("head_layernorm.", "head.layernorm.")
+            k = k.replace("head_mlp.", "head.mlp.")
+            root = "text_model" if is_text else "vision_model"
+            host = "guide_encoder" if is_text else "vision_tower"
+            out[f"model.vision_tower.{host}.{root}.{k}"] = v
+        return out
+
+    if "vision_tower" in params:
+        sd.update(fix_tower_keys(flax_to_torch_state(params["vision_tower"]), is_text=False))
+    if "guide_encoder" in params:
+        sd.update(fix_tower_keys(flax_to_torch_state(params["guide_encoder"]), is_text=True))
+    if "mm_projector" in params:
+        sd.update({f"model.{k}": v for k, v in flax_to_torch_state(params["mm_projector"], "mm_projector.").items()})
+    if "image_newline" in params:
+        sd["model.image_newline"] = np.asarray(params["image_newline"])
+
+    np_dtype = np.float16 if dtype == "float16" else np.float32
+    sd = {k: (v.astype(np_dtype) if np.issubdtype(v.dtype, np.floating) else v) for k, v in sd.items()}
+    save_file(sd, os.path.join(output_dir, "model.safetensors"))
+
+    import json as _json
+
+    with open(os.path.join(output_dir, "config.json"), "w") as f:
+        _json.dump(config.to_hf_dict(), f, indent=2)
+
+
+# --------------------------------------------------------------------------- #
 # Projector weights (mm_projector.bin or prefixed SFT keys)
 # --------------------------------------------------------------------------- #
 

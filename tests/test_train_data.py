@@ -193,3 +193,51 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     restored = restore_checkpoint(str(tmp_path), state)
     np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.asarray(state.params["w"]))
     assert int(restored.step) == 7
+
+
+def test_hf_checkpoint_export_roundtrip(tmp_path):
+    """Export params as a reference-layout SFT checkpoint → load_model → same logits."""
+    import jax
+    import jax.numpy as jnp
+
+    from hicom_tpu.config import tiny_test_config
+    from hicom_tpu.constants import VIDEO_TOKEN_INDEX
+    from hicom_tpu.models.hicom import HIComModel
+    from hicom_tpu.weights import export_hf_checkpoint
+    from hicom_tpu.api import load_model
+    import json, os
+
+    cfg = tiny_test_config(use_guide="direct")
+    model = HIComModel(config=cfg)
+    rng = np.random.default_rng(0)
+    img = cfg.vision_config.image_size
+    frames = jnp.asarray(rng.standard_normal((1, 2, 3, img, img)).astype(np.float32))
+    ids = rng.integers(5, cfg.text_config.vocab_size, (1, 8))
+    ids[0, 1] = VIDEO_TOKEN_INDEX
+    gids = jnp.asarray(rng.integers(1, cfg.guide_text_config.vocab_size, (1, 8)))
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(ids), frames, guide_ids=gids, modal="video")
+    params = variables["params"]
+    ref_logits, _, _ = model.apply({"params": params}, jnp.asarray(ids), frames, guide_ids=gids, modal="video")
+
+    out = tmp_path / "export"
+    export_hf_checkpoint(dict(params), cfg, str(out), dtype="float32")
+    # tower config dir so load_model can reconstruct vision/guide configs
+    import dataclasses
+    tower_dir = tmp_path / "tower"
+    tower_dir.mkdir()
+    with open(tower_dir / "config.json", "w") as f:
+        json.dump({"model_type": "siglip",
+                   "vision_config": dataclasses.asdict(cfg.vision_config),
+                   "text_config": dataclasses.asdict(cfg.guide_text_config)}, f)
+    # point the exported config at the tower dir
+    with open(out / "config.json") as f:
+        d = json.load(f)
+    d["mm_vision_tower"] = str(tower_dir)
+    with open(out / "config.json", "w") as f:
+        json.dump(d, f)
+
+    runtime = load_model(str(out), dtype="float32", cache_len=64)
+    got_logits, _, _ = runtime.model.apply(
+        {"params": runtime.params}, jnp.asarray(ids), frames, guide_ids=gids, modal="video"
+    )
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4)
