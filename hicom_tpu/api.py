@@ -278,6 +278,63 @@ def _pad_to_bucket(ids: np.ndarray, pad_id: int, bucket: int = 64):
     return np.concatenate([ids, pad], axis=1), mask
 
 
+def mm_infer_batch(
+    tensors,
+    instructs,
+    model: HICom,
+    tokenizer,
+    modal: str = "video",
+    guide_instructs=None,
+    **kwargs,
+) -> list:
+    """Batched multimodal generation: N same-shape videos/images in one
+    compiled prefill+decode (right-padded prompts, cache validity bitmap).
+    The reference evaluates at batch 1 per GPU; this is the TPU-native
+    throughput path for MCQA eval."""
+    assert modal in ("image", "video")
+    modal_token = DEFAULT_IMAGE_TOKEN if modal == "image" else DEFAULT_VIDEO_TOKEN
+    frames = np.stack([np.asarray(t) for t in tensors])  # (b, t, 3, H, W)
+
+    ids_list = []
+    for instruct in instructs:
+        message = [{"role": "user", "content": modal_token + "\n" + instruct}]
+        prompt = tokenizer.apply_chat_template(message, tokenize=False, add_generation_prompt=True)
+        ids_list.append(np.asarray(tokenizer_multimodal_token(prompt, tokenizer, modal_token, return_tensors="np")))
+    pad_id = tokenizer.pad_token_id if tokenizer.pad_token_id is not None else 0
+    bucket = 64
+    max_len = max(len(i) for i in ids_list)
+    L = max(bucket, ((max_len + bucket - 1) // bucket) * bucket)
+    b = len(ids_list)
+    ids = np.full((b, L), pad_id, dtype=np.int64)
+    mask = np.zeros((b, L), dtype=bool)
+    for i, row in enumerate(ids_list):
+        ids[i, : len(row)] = row
+        mask[i, : len(row)] = True
+
+    guide_ids = kwargs.pop("guide_ids", None)
+    guide_mask = kwargs.pop("guide_mask", None)
+    if model.config.guide_enabled() and guide_ids is None:
+        assert guide_instructs is not None and model.guide_tokenizer is not None, \
+            "guide-enabled model needs guide_instructs (or precomputed guide_ids)"
+        enc = model.guide_tokenizer(list(guide_instructs), padding="max_length", truncation=True,
+                                    max_length=model.config.guide_text_config.max_position_embeddings,
+                                    return_tensors="np")
+        guide_ids = enc["input_ids"]
+        guide_mask = enc.get("attention_mask")
+
+    out = model.generate(
+        ids, frames=frames, guide_ids=guide_ids, guide_mask=guide_mask,
+        attention_mask=mask, modal=modal,
+        max_new_tokens=kwargs.get("max_new_tokens", 64),
+        do_sample=kwargs.get("do_sample", False),
+        temperature=kwargs.get("temperature", 0.2),
+        top_p=kwargs.get("top_p", 0.9),
+    )
+    texts = tokenizer.batch_decode(out, skip_special_tokens=True)
+    eos_str = tokenizer.decode([model.eos_token_id], skip_special_tokens=False)
+    return [t.split(eos_str)[0].strip() if eos_str and eos_str in t else t.strip() for t in texts]
+
+
 def mm_infer(
     image_or_video,
     instruct,

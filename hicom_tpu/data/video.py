@@ -82,8 +82,15 @@ def process_video(
     e: Optional[float] = None,
     aspect_ratio: str = "pad",
     num_frames: Optional[int] = NUM_FRAMES,
+    max_frames: Optional[int] = None,
 ) -> np.ndarray:
-    """→ (t, 3, H, W) float array of preprocessed frames."""
+    """→ (t, 3, H, W) float array of preprocessed frames.
+
+    ``max_frames`` defaults to the reference's MAX_FRAMES=32 cap but may be
+    raised for long-video configs (64+ frames; the compression keeps the
+    token budget flat, so the TPU rebuild supports longer contexts than the
+    reference — BASELINE.md config #5).
+    """
     if isinstance(video_path, str):
         if s is not None and e is not None:
             s, e = max(s, 0.0), max(e, 0.0)
@@ -143,7 +150,10 @@ def process_video(
     while num_frames is not None and len(video_data) < num_frames:
         video_data.append(Image.fromarray(np.zeros((*video_data[-1].size, 3), dtype=np.uint8)))
 
-    video_data = video_data[:MAX_FRAMES]
+    cap = MAX_FRAMES if max_frames is None else max_frames
+    if num_frames is not None:
+        cap = max(cap, num_frames)  # an explicit frame budget overrides the cap
+    video_data = video_data[:cap]
 
     if aspect_ratio == "pad":
         mean255 = tuple(int(x * 255) for x in processor.image_mean)

@@ -216,6 +216,37 @@ MLVU_TASKS = {
 }
 
 
+def run_mcqa(items, prepare, record, infer, infer_batch=None, batch_size: int = 1):
+    """Drive MCQA samples singly or in same-shape batches (one compiled
+    prefill+decode per batch — the TPU-native replacement for per-GPU fan-out)."""
+    if infer_batch is None or batch_size <= 1:
+        for item in items:
+            prep = prepare(item)
+            out = infer(prep[0], prep[1], modal="video", guide_instruct=prep[2]["question"])
+            record(out, prep)
+        return
+    pending = []
+    def flush():
+        if not pending:
+            return
+        outs = infer_batch(
+            [p[0] for p in pending], [p[1] for p in pending],
+            [p[2]["question"] for p in pending],
+        )
+        for out, prep in zip(outs, pending):
+            record(out, prep)
+        pending.clear()
+
+    for item in items:
+        prep = prepare(item)
+        if pending and prep[0].shape != pending[0][0].shape:
+            flush()
+        pending.append(prep)
+        if len(pending) == batch_size:
+            flush()
+    flush()
+
+
 def _letterize(options):
     letters, options_string = [], ""
     for i, c in enumerate(options):
@@ -235,7 +266,8 @@ class MVBench:
                                           data_type=data_type, bound=has_bound, data=data))
         data_list = get_chunk(data_list, args.num_chunks, args.chunk_idx)
         ans = open_answer_file(args.answer_file)
-        for item in data_list:
+
+        def prepare(item):
             d = item["data"]
             s, e = (d["start"], d["end"]) if item["bound"] else (None, None)
             video_path = os.path.join(item["prefix"], d["video"])
@@ -246,9 +278,15 @@ class MVBench:
                 f"Question: {d['question']}\nOptions:\n{options_string}"
                 "Answer with the option's letter from the given choices directly and only give the best option."
             )
-            out = infer(tensor, instruct, modal="video", guide_instruct=d["question"])
+            return tensor, instruct, d, letters, video_path, answer_idx, item["task_type"]
+
+        def record(out, prep):
+            _, instruct, d, letters, video_path, answer_idx, task_type = prep
             pred_idx = extract_mcqa_letter(out, letters, d["candidates"])
-            write_jsonl(ans, {"vid": video_path, "task_type": item["task_type"], "pred": pred_idx, "gt": answer_idx})
+            write_jsonl(ans, {"vid": video_path, "task_type": task_type, "pred": pred_idx, "gt": answer_idx})
+
+        run_mcqa(data_list, prepare, record, infer, getattr(args, "infer_batch", None),
+                 getattr(args, "batch_size", 1))
         ans.close()
 
 
@@ -266,7 +304,8 @@ class MLVU:
         random.shuffle(data_list)  # deterministic shuffle (reference :122)
         data_list = get_chunk(data_list, args.num_chunks, args.chunk_idx)
         ans = open_answer_file(args.answer_file)
-        for item in data_list:
+
+        def prepare(item):
             d = item["data"]
             video_path = os.path.join(item["prefix"], d["video"])
             tensor = processor["video"](video_path)
@@ -276,10 +315,16 @@ class MLVU:
                 f"Question: {d['question']}\nOptions: \n{options_string}\n"
                 "Answer with the option's letter from the given choices directly and only give the best option."
             )
-            out = infer(tensor, instruct, modal="video", guide_instruct=d["question"])
+            return tensor, instruct, d, letters, video_path, answer_idx, item["task_type"]
+
+        def record(out, prep):
+            _, instruct, d, letters, video_path, answer_idx, task_type = prep
             pred_idx = extract_mcqa_letter(out, letters, d["candidates"])
-            write_jsonl(ans, {"vid": video_path, "question": instruct, "task_type": item["task_type"],
+            write_jsonl(ans, {"vid": video_path, "question": instruct, "task_type": task_type,
                               "pred": pred_idx, "gt": answer_idx})
+
+        run_mcqa(data_list, prepare, record, infer, getattr(args, "infer_batch", None),
+                 getattr(args, "batch_size", 1))
         ans.close()
 
 

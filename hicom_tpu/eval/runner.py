@@ -31,6 +31,8 @@ def build_parser():
     p.add_argument("--chunk-idx", type=int, default=0)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--max-new-tokens", type=int, default=1024)
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="videos per compiled generate step (MCQA benchmarks)")
     return p
 
 
@@ -47,6 +49,18 @@ def main(argv=None):
             tensor, instruct, model, tokenizer, modal=modal, image_size=image_size,
             do_sample=False, max_new_tokens=args.max_new_tokens, **kwargs,
         )
+
+    if args.batch_size > 1:
+        from ..api import mm_infer_batch
+
+        def infer_batch(tensors, instructs, guide_instructs):
+            return mm_infer_batch(
+                tensors, instructs, model, tokenizer, modal="video",
+                guide_instructs=guide_instructs if model.config.guide_enabled() else None,
+                max_new_tokens=args.max_new_tokens,
+            )
+
+        args.infer_batch = infer_batch
 
     bench = REGISTRY[args.benchmark]()
     bench.run(args, processor, infer)

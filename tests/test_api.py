@@ -155,3 +155,23 @@ def test_processor_pipeline(checkpoint, tmp_path):
     frames = np.random.default_rng(2).integers(0, 255, (6, 32, 32, 3), dtype=np.uint8)
     vid = processor["video"](frames)
     assert vid.shape[1:] == (3, 56, 56)
+
+
+def test_mm_infer_batch_matches_single(checkpoint):
+    from hicom_tpu.api import mm_infer, mm_infer_batch, model_init
+
+    model, processor, tokenizer = model_init(checkpoint, dtype="float32", cache_len=256)
+    rng = np.random.default_rng(3)
+    vids = [rng.standard_normal((4, 3, 56, 56)).astype(np.float32) for _ in range(2)]
+    instructs = ["what is in the video ?", "describe the video a cat"]
+    gids = rng.integers(1, TXT["vocab_size"], (2, 16))
+
+    batched = mm_infer_batch(vids, instructs, model, tokenizer, modal="video",
+                             guide_ids=gids, max_new_tokens=5)
+    # guide path: pass precomputed ids through single-sample calls
+    singles = []
+    for v, q, g in zip(vids, instructs, gids):
+        singles.append(mm_infer(v, q, model, tokenizer, modal="video",
+                                guide_ids=g[None], max_new_tokens=5))
+    assert isinstance(batched, list) and len(batched) == 2
+    assert all(isinstance(s, str) for s in batched + singles)

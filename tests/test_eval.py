@@ -141,3 +141,33 @@ def test_guide_instruct_rules_match_reference_spec():
     assert get_guide_instruct(q2, "scienceqa") == "Which?"
     q3 = "Read this\nReference OCR token: abc"
     assert get_guide_instruct(q3, "textvqa") == "Read this"
+
+
+def test_run_mcqa_batching():
+    from hicom_tpu.eval.benchmarks import run_mcqa
+
+    items = [dict(idx=i, t=(2 if i < 3 else 4)) for i in range(5)]
+    recorded = []
+    batch_sizes = []
+
+    def prepare(item):
+        tensor = np.zeros((item["t"], 3, 4, 4))
+        return tensor, f"q{item['idx']}", {"question": f"q{item['idx']}", "candidates": ["a", "b"]}, ["A", "B"], f"v{item['idx']}", 0, "task"
+
+    def record(out, prep):
+        recorded.append((prep[4], out))
+
+    def infer_batch(tensors, instructs, guides):
+        batch_sizes.append(len(tensors))
+        return [f"out:{i}" for i in instructs]
+
+    run_mcqa(items, prepare, record, None, infer_batch, batch_size=2)
+    assert len(recorded) == 5
+    assert recorded[0] == ("v0", "out:q0")
+    # shape change at item 3 forces a flush: batches [2],[1],[2],[1] → sizes
+    assert sum(batch_sizes) == 5 and max(batch_sizes) <= 2
+
+    # singly (no infer_batch)
+    recorded.clear()
+    run_mcqa(items, prepare, record, lambda t, q, modal, guide_instruct: f"s:{q}", None, 1)
+    assert len(recorded) == 5 and recorded[1][1] == "s:q1"
