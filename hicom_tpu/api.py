@@ -158,6 +158,7 @@ def load_model(
     dtype: str = "bfloat16",
     cache_len: int = 4096,
     device: Optional[str] = None,
+    load_8bit: bool = False,
 ) -> "HICom":
     """Load a checkpoint directory into a device-resident HICom runtime."""
     import jax
@@ -176,6 +177,10 @@ def load_model(
     qk_override = getattr(vision_cfg, "projection_dim", None)
     cfg = cfg.replace(vision_config=vision_cfg, guide_text_config=guide_cfg, dtype=dtype,
                       projector_qk_dim=qk_override)
+    if load_8bit:
+        import dataclasses as _dc
+
+        cfg = cfg.replace(text_config=_dc.replace(cfg.text_config, quantization="int8"))
 
     spec = cfg.projector
     params: Dict[str, Any] = {}
@@ -201,6 +206,10 @@ def load_model(
 
     is_clip = "clip" in cfg.mm_vision_tower and "siglip" not in cfg.mm_vision_tower
     params["language_model"] = W.convert_decoder(llm_sd, cfg.text_config.tie_word_embeddings)
+    if load_8bit:
+        from .models.qwen2 import quantize_decoder_params
+
+        params["language_model"] = quantize_decoder_params(params["language_model"])
     params["vision_tower"] = W.convert_clip_vision(tower_sd) if is_clip else W.convert_siglip_vision(tower_sd)
     if cfg.guide_enabled():
         params["guide_encoder"] = W.convert_clip_text(tower_sd) if is_clip else W.convert_siglip_text(tower_sd)

@@ -88,6 +88,8 @@ class Qwen2Config:
     eos_token_id: int = 151645
     pad_token_id: int = 151643
     bos_token_id: int = 151643
+    # weight-only quantization of decoder linears: None | "int8"
+    quantization: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -109,6 +111,7 @@ class LlamaConfig:
     eos_token_id: int = 2
     pad_token_id: int = 0
     bos_token_id: int = 1
+    quantization: Optional[str] = None
 
 
 # --------------------------------------------------------------------------- #

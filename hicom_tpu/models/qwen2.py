@@ -18,6 +18,7 @@ from typing import Any, NamedTuple, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.attention import sdpa
 
@@ -46,6 +47,58 @@ class KVCache(NamedTuple):
             jnp.zeros((batch,), jnp.int32),
             jnp.zeros((batch, max_len), dtype=bool),
         )
+
+
+class QuantDense(nn.Module):
+    """Weight-only int8 linear: HBM holds int8 kernels + per-output-channel
+    scales; dequantization fuses into the matmul read (the TPU analogue of the
+    reference's bitsandbytes 8-bit load, ``model/__init__.py:58-68``)."""
+
+    features: int
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_dim = x.shape[-1]
+        kernel_q = self.param("kernel_q", nn.initializers.zeros, (in_dim, self.features), jnp.int8)
+        scale = self.param("kernel_scale", nn.initializers.ones, (self.features,), jnp.float32)
+        y = jnp.dot(x.astype(self.dtype), kernel_q.astype(self.dtype))
+        y = y * scale.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def make_dense(quantized: bool, features: int, use_bias: bool, dtype, name: str):
+    if quantized:
+        return QuantDense(features, use_bias=use_bias, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+
+
+def quantize_decoder_params(lm_params: dict) -> dict:
+    """Convert decoder linear kernels to the QuantDense layout (int8 +
+    per-column absmax scales). Embeddings, norms and lm_head stay fp."""
+    import re as _re
+
+    def walk(tree, path=""):
+        if not isinstance(tree, dict):
+            return tree
+        if "kernel" in tree and _re.search(
+            r"(q_proj|k_proj|v_proj|o_proj|gate_proj|up_proj|down_proj)$", path
+        ):
+            k = np.asarray(tree["kernel"], np.float32)
+            absmax = np.maximum(np.abs(k).max(axis=0), 1e-8)
+            scale = (absmax / 127.0).astype(np.float32)
+            kq = np.clip(np.round(k / scale[None, :]), -127, 127).astype(np.int8)
+            out = {"kernel_q": kq, "kernel_scale": scale}
+            if "bias" in tree:
+                out["bias"] = np.asarray(tree["bias"], np.float32)
+            return out
+        return {kk: walk(vv, f"{path}/{kk}") for kk, vv in tree.items()}
+
+    return walk(lm_params)
 
 
 class RMSNorm(nn.Module):
@@ -83,6 +136,7 @@ class DecoderAttention(nn.Module):
     head_dim: int
     rope_theta: float
     attention_bias: bool
+    quantized: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -98,9 +152,9 @@ class DecoderAttention(nn.Module):
     ):
         b, L, _ = x.shape
         H, KVH, hd = self.num_heads, self.num_kv_heads, self.head_dim
-        q = nn.Dense(H * hd, use_bias=self.attention_bias, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(KVH * hd, use_bias=self.attention_bias, dtype=self.dtype, name="k_proj")(x)
-        v = nn.Dense(KVH * hd, use_bias=self.attention_bias, dtype=self.dtype, name="v_proj")(x)
+        q = make_dense(self.quantized, H * hd, self.attention_bias, self.dtype, "q_proj")(x)
+        k = make_dense(self.quantized, KVH * hd, self.attention_bias, self.dtype, "k_proj")(x)
+        v = make_dense(self.quantized, KVH * hd, self.attention_bias, self.dtype, "v_proj")(x)
         q = q.reshape(b, L, H, hd).transpose(0, 2, 1, 3)
         k = k.reshape(b, L, KVH, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, L, KVH, hd).transpose(0, 2, 1, 3)
@@ -155,20 +209,21 @@ class DecoderAttention(nn.Module):
         v_att = jnp.repeat(v_att, group, axis=1)
         out = sdpa(q, k_att, v_att, scale=hd**-0.5, mask=mask, is_causal=mask is None)
         out = out.transpose(0, 2, 1, 3).reshape(b, L, H * hd)
-        out = nn.Dense(self.hidden_size, use_bias=False, dtype=self.dtype, name="o_proj")(out)
+        out = make_dense(self.quantized, self.hidden_size, False, self.dtype, "o_proj")(out)
         return out, new_cache_kv
 
 
 class DecoderMLP(nn.Module):
     hidden_size: int
     intermediate_size: int
+    quantized: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        gate = nn.Dense(self.intermediate_size, use_bias=False, dtype=self.dtype, name="gate_proj")(x)
-        up = nn.Dense(self.intermediate_size, use_bias=False, dtype=self.dtype, name="up_proj")(x)
-        return nn.Dense(self.hidden_size, use_bias=False, dtype=self.dtype, name="down_proj")(nn.silu(gate) * up)
+        gate = make_dense(self.quantized, self.intermediate_size, False, self.dtype, "gate_proj")(x)
+        up = make_dense(self.quantized, self.intermediate_size, False, self.dtype, "up_proj")(x)
+        return make_dense(self.quantized, self.hidden_size, False, self.dtype, "down_proj")(nn.silu(gate) * up)
 
 
 class DecoderLayer(nn.Module):
@@ -180,14 +235,15 @@ class DecoderLayer(nn.Module):
                  padding_mask=None, prefill_from_empty=False):
         cfg = self.config
         h = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="input_layernorm")(x)
+        quantized = getattr(cfg, "quantization", None) == "int8"
         attn_out, new_cache_kv = DecoderAttention(
             cfg.hidden_size, cfg.num_attention_heads, cfg.num_key_value_heads,
-            cfg.head_dim, cfg.rope_theta, cfg.attention_bias,
+            cfg.head_dim, cfg.rope_theta, cfg.attention_bias, quantized,
             dtype=self.dtype, name="self_attn",
         )(h, positions, cache_kv, cache_length, cache_valid, padding_mask, prefill_from_empty)
         x = x + attn_out
         h = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="post_attention_layernorm")(x)
-        x = x + DecoderMLP(cfg.hidden_size, cfg.intermediate_size, dtype=self.dtype, name="mlp")(h)
+        x = x + DecoderMLP(cfg.hidden_size, cfg.intermediate_size, quantized, dtype=self.dtype, name="mlp")(h)
         return x, new_cache_kv
 
 

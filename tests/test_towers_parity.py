@@ -169,3 +169,39 @@ def test_llama_forward_parity():
     bound = model.bind({"params": params})
     logits, _ = model.apply({"params": params}, bound.embed(jnp.asarray(ids)), positions)
     np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=3e-4, atol=3e-4)
+
+
+def test_int8_weight_only_quantization():
+    """QuantDense decoder ≈ fp decoder within int8 absmax error; int8 storage."""
+    import dataclasses
+
+    from hicom_tpu.models.qwen2 import quantize_decoder_params
+
+    _, model, params, cfg = _build_qwen_pair(seed=7)
+    qcfg = dataclasses.replace(cfg, quantization="int8")
+    qmodel = Qwen2ForCausalLM(config=qcfg)
+    qparams = quantize_decoder_params(params)
+
+    # tree structure matches the quantized module
+    ids = np.random.default_rng(7).integers(0, 128, (1, 12))
+    positions = jnp.arange(12)[None]
+    expected = qmodel.init(
+        jax.random.PRNGKey(0), jnp.asarray(ids), positions,
+        method=lambda m, i, p: m(m.embed(i), p),
+    )["params"]
+    assert_tree_match(expected, qparams)
+
+    bound = model.bind({"params": params})
+    embeds = bound.embed(jnp.asarray(ids))
+    fp_logits, _ = model.apply({"params": params}, embeds, positions)
+    q_logits, _ = qmodel.apply({"params": qparams}, embeds, positions)
+
+    # int8 storage actually used
+    k = qparams["model"]["layers_0"]["self_attn"]["q_proj"]["kernel_q"]
+    assert k.dtype == np.int8
+    # argmax agreement + bounded drift for a tiny random model
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(fp_logits), -1), np.argmax(np.asarray(q_logits), -1)
+    )
+    rel = np.abs(np.asarray(q_logits) - np.asarray(fp_logits)).max() / (np.abs(np.asarray(fp_logits)).max() + 1e-9)
+    assert rel < 0.05, rel
