@@ -17,6 +17,38 @@ import numpy as np
 from PIL import Image
 
 
+def load_image_from_base64(image: str) -> Image.Image:
+    import base64
+    from io import BytesIO
+
+    return Image.open(BytesIO(base64.b64decode(image)))
+
+
+def chunk_list(input_list, chunk_size):
+    return [input_list[i : i + chunk_size] for i in range(0, len(input_list), chunk_size)]
+
+
+def create_photo_grid(arr, rows=None, cols=None) -> np.ndarray:
+    """Tile t frames into one grid image (reference mm_utils.py:157-204)."""
+    if isinstance(arr, list):
+        arr = np.stack([np.asarray(x) for x in arr])
+    t, h, w, c = arr.shape
+    if rows is None and cols is None:
+        rows = math.ceil(math.sqrt(t))
+        cols = math.ceil(t / rows)
+    elif rows is None:
+        rows = math.ceil(t / cols)
+    elif cols is None:
+        cols = math.ceil(t / rows)
+    if rows * cols < t:
+        raise ValueError(f"grid {rows}x{cols} cannot hold {t} frames")
+    grid = np.zeros((h * rows, w * cols, c), dtype=arr.dtype)
+    for i in range(t):
+        r, cc = i // cols, i % cols
+        grid[r * h : (r + 1) * h, cc * w : (cc + 1) * w] = arr[i]
+    return grid
+
+
 def expand2square(img: Image.Image, background_color) -> Image.Image:
     w, h = img.size
     if w == h:
