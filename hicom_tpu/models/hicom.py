@@ -207,6 +207,10 @@ class HIComModel(nn.Module):
                 attention_mask = jnp.ones((b, L), dtype=bool)
             positions = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None], (b, L))
             return SplicedInputs(text_embeds, attention_mask.astype(bool), labels, positions)
+        if visual_embeds.ndim == 4:  # (b, K, V, D): multi-image prompts
+            from .splice import splice_visual_embeds_multi
+
+            return splice_visual_embeds_multi(input_ids, text_embeds, visual_embeds, attention_mask, labels)
         return splice_visual_embeds(input_ids, text_embeds, visual_embeds, attention_mask, labels)
 
     def decode(

@@ -87,3 +87,63 @@ def splice_visual_embeds(
 
     positions = jnp.broadcast_to(jnp.arange(out_len, dtype=jnp.int32)[None], (b, out_len))
     return SplicedInputs(embeds, out_mask, out_labels, positions)
+
+
+def splice_visual_embeds_multi(
+    input_ids: Array,  # (b, L) with up to K modal sentinels per row
+    text_embeds: Array,  # (b, L, D)
+    visual_embeds: Array,  # (b, K, V, D) — K media per row, V tokens each
+    attention_mask: Optional[Array] = None,
+    labels: Optional[Array] = None,
+) -> SplicedInputs:
+    """K-sentinel generalization (multi-image prompts, reference
+    ``hicom_arch.py:309-322`` loop). Each sentinel expands into V visual
+    tokens; output length is the static ``L + K*(V-1)``. Rows with fewer than
+    K sentinels ignore the surplus visual slots; the tail pads.
+
+    Scatter formulation: input position j lands at ``j + (V-1)*#sentinels<j``;
+    the k-th sentinel's V visual tokens start at its landing index.
+    """
+    b, L = input_ids.shape
+    K, V = visual_embeds.shape[1:3]
+    out_len = L + K * (V - 1)
+    D = text_embeds.shape[-1]
+
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, L), dtype=bool)
+
+    modal = is_modal_token(input_ids)
+    prior = jnp.cumsum(modal.astype(jnp.int32), axis=1) - modal.astype(jnp.int32)  # sentinels before j
+    out_idx = jnp.arange(L)[None] + (V - 1) * prior  # (b, L)
+
+    # text scatter (sentinel rows overwritten by visual below)
+    embeds = jnp.zeros((b, out_len, D), text_embeds.dtype)
+    batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, L))
+    embeds = embeds.at[batch_idx, out_idx].set(text_embeds)
+
+    out_mask = jnp.zeros((b, out_len), bool).at[batch_idx, out_idx].set(attention_mask.astype(bool))
+    out_labels = None
+    if labels is not None:
+        out_labels = jnp.full((b, out_len), IGNORE_INDEX, labels.dtype).at[batch_idx, out_idx].set(
+            jnp.where(attention_mask.astype(bool), labels, IGNORE_INDEX)
+        )
+
+    # k-th sentinel position per row: argsort trick over (not modal, j)
+    order = jnp.argsort(jnp.where(modal, jnp.arange(L)[None], L + jnp.arange(L)[None]), axis=1)
+    sent_pos = order[:, :K]  # (b, K) input index of k-th sentinel (garbage if absent)
+    n_sent = jnp.sum(modal, axis=1)  # (b,)
+    sent_out = jnp.take_along_axis(out_idx, sent_pos, axis=1)  # (b, K) landing index
+
+    offs = jnp.arange(V)[None, None]  # (1, 1, V)
+    vis_idx = sent_out[:, :, None] + offs  # (b, K, V)
+    present = (jnp.arange(K)[None] < n_sent[:, None])[:, :, None]  # (b, K, 1)
+    vis_idx = jnp.where(present, vis_idx, out_len)  # absent → dropped (oob index)
+    bidx = jnp.broadcast_to(jnp.arange(b)[:, None, None], (b, K, V))
+    embeds = embeds.at[bidx, vis_idx, :].set(visual_embeds.astype(embeds.dtype), mode="drop")
+    out_mask = out_mask.at[bidx, vis_idx].set(True, mode="drop")
+    if out_labels is not None:
+        out_labels = out_labels.at[bidx, vis_idx].set(IGNORE_INDEX, mode="drop")
+
+    embeds = embeds * out_mask[..., None].astype(embeds.dtype)
+    positions = jnp.broadcast_to(jnp.arange(out_len, dtype=jnp.int32)[None], (b, out_len))
+    return SplicedInputs(embeds, out_mask, out_labels, positions)

@@ -219,3 +219,53 @@ def test_generate_batched_right_padding_matches_single():
 
     assert until_eos(out_batch[0]) == until_eos(out_a[0][:4].tolist()) or out_batch[0].tolist() == out_a[0][:4].tolist()
     assert out_batch[1].tolist() == out_b[0][:4].tolist()
+
+
+def test_multi_sentinel_splice():
+    """K-sentinel splice: equivalent to single-sentinel for K=1; correct layout for K=2."""
+    from hicom_tpu.models.splice import splice_visual_embeds_multi
+
+    rng = np.random.default_rng(9)
+    L, V, D = 9, 3, 4
+    ids = np.array([
+        [5, VIDEO_TOKEN_INDEX, 6, -200, 7, 8, 0, 0, 0],  # two media
+        [5, 6, VIDEO_TOKEN_INDEX, 7, 8, 9, 3, 0, 0],     # one medium
+    ])
+    mask = np.array([[1]*6 + [0]*3, [1]*7 + [0]*2], dtype=bool)
+    text = rng.standard_normal((2, L, D)).astype(np.float32)
+    vis = rng.standard_normal((2, 2, V, D)).astype(np.float32)
+    labels = np.where(mask, np.abs(ids), IGNORE_INDEX)
+
+    out = splice_visual_embeds_multi(
+        jnp.asarray(ids), jnp.asarray(text), jnp.asarray(vis), jnp.asarray(mask), jnp.asarray(labels)
+    )
+    e = np.asarray(out.embeds)
+    m = np.asarray(out.attention_mask)
+    lab = np.asarray(out.labels)
+    out_len = L + 2 * (V - 1)
+
+    # row 0: t0, vis0(3), t2, vis1(3), t4, t5 then padding
+    np.testing.assert_allclose(e[0, 0], text[0, 0])
+    np.testing.assert_allclose(e[0, 1:4], vis[0, 0])
+    np.testing.assert_allclose(e[0, 4], text[0, 2])
+    np.testing.assert_allclose(e[0, 5:8], vis[0, 1])
+    np.testing.assert_allclose(e[0, 8], text[0, 4])
+    np.testing.assert_allclose(e[0, 9], text[0, 5])
+    assert m[0].tolist() == [True]*10 + [False]*(out_len-10)
+    assert lab[0, 1:4].tolist() == [IGNORE_INDEX]*3
+    assert lab[0, 8] == 7 and lab[0, 9] == 8
+
+    # row 1: one sentinel → text[0:2], vis[1,0], text[3:7]; surplus visual dropped
+    np.testing.assert_allclose(e[1, :2], text[1, :2])
+    np.testing.assert_allclose(e[1, 2:5], vis[1, 0])
+    np.testing.assert_allclose(e[1, 5:9], text[1, 3:7])
+    assert m[1].tolist() == [True]*9 + [False]*(out_len-9)
+
+    # K=1 equivalence with the single-sentinel splice
+    ids1 = np.array([[5, 6, VIDEO_TOKEN_INDEX, 7, 8]])
+    text1 = rng.standard_normal((1, 5, D)).astype(np.float32)
+    vis1 = rng.standard_normal((1, 1, V, D)).astype(np.float32)
+    multi = splice_visual_embeds_multi(jnp.asarray(ids1), jnp.asarray(text1), jnp.asarray(vis1))
+    single = splice_visual_embeds(jnp.asarray(ids1), jnp.asarray(text1), jnp.asarray(vis1[:, 0]))
+    np.testing.assert_allclose(np.asarray(multi.embeds), np.asarray(single.embeds))
+    np.testing.assert_array_equal(np.asarray(multi.attention_mask), np.asarray(single.attention_mask))
