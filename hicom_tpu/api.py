@@ -170,6 +170,7 @@ def load_model(
         raw_cfg = json.load(f)
 
     is_pretrain_artifact = os.path.exists(os.path.join(model_path, "mm_projector.bin"))
+    is_lora_artifact = os.path.exists(os.path.join(model_path, "adapter_config.json"))
     cfg = HIComConfig.from_hf_dict(raw_cfg)
     vision_cfg, guide_cfg = _tower_configs(cfg.mm_vision_tower)
     # CLIP compression keys live in the contrastive projection space (768),
@@ -189,6 +190,18 @@ def load_model(
         assert model_base is not None, "pretrain checkpoints need model_base (the base LLM directory)"
         llm_sd = W.load_hf_state_dict(model_base)
         proj_sd = W.load_torch_bin(os.path.join(model_path, "mm_projector.bin"))
+        tower_sd = W.load_hf_state_dict(cfg.mm_vision_tower)
+    elif is_lora_artifact:
+        # reference lora path (model/__init__.py:91-138): base weights +
+        # non_lora_trainables + adapter, merged at load.
+        assert model_base is not None, "lora checkpoints need model_base"
+        llm_sd = W.load_hf_state_dict(model_base)
+        nlt_path = os.path.join(model_path, "non_lora_trainables.bin")
+        extra_sd = W.load_torch_bin(nlt_path) if os.path.exists(nlt_path) else {}
+        extra_sd = {k.replace("base_model.model.", "").replace("model.model.", "model."): v
+                    for k, v in extra_sd.items()}
+        llm_sd = {**llm_sd, **{k: v for k, v in extra_sd.items() if "mm_projector" not in k and "vision_tower" not in k}}
+        proj_sd = {k: v for k, v in extra_sd.items() if "mm_projector" in k}
         tower_sd = W.load_hf_state_dict(cfg.mm_vision_tower)
     else:
         sd = W.load_hf_state_dict(model_path)
@@ -223,6 +236,14 @@ def load_model(
                     params["mm_projector"][f"{side}_logit_bias"] = tower_sd["logit_bias"].reshape(())
     if "model.image_newline" in llm_sd:
         params["image_newline"] = llm_sd["model.image_newline"]
+
+    if is_lora_artifact:
+        from .train.lora import apply_lora, load_peft_adapter
+
+        lora, alpha, rank = load_peft_adapter(model_path)
+        params["language_model"] = apply_lora(params["language_model"], {
+            k.replace("language_model/", ""): v for k, v in lora.items()
+        }, alpha=alpha, rank=rank)
 
     jdtype = jnp.dtype(dtype)
     params = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x, dtype=jdtype if np.issubdtype(x.dtype, np.floating) else None)), params)

@@ -62,6 +62,10 @@ def build_parser():
     p.add_argument("--dp", type=int, default=None)
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
+    # lora
+    p.add_argument("--lora-enable", action="store_true")
+    p.add_argument("--lora-r", type=int, default=128)
+    p.add_argument("--lora-alpha", type=int, default=256)
     # io
     p.add_argument("--output-dir", required=True)
     p.add_argument("--save-steps", type=int, default=500)
@@ -214,6 +218,54 @@ def main(argv=None):
             if restored is not None:
                 state = restored
                 print(f"resumed from step {int(state.step)}")
+
+        if args.lora_enable:
+            # LoRA: decoder low-rank factors are the only trainable leaves;
+            # base params stay frozen (the reference's peft wrap, train.py:619-635).
+            import optax as _optax
+
+            from .lora import init_lora_params, make_lora_loss_fn
+            from .optimizer import make_schedule
+            from .train_step import make_loss_fn
+
+            base_params = state.params
+            lora = init_lora_params(base_params, rank=args.lora_r, rng=jax.random.PRNGKey(args.seed))
+            lora_tx = _optax.adamw(make_schedule(args.learning_rate, total_steps, args.warmup_ratio,
+                                                 args.lr_scheduler_type), weight_decay=args.weight_decay)
+            loss_fn = make_lora_loss_fn(make_loss_fn(model, modal), base_params,
+                                        alpha=args.lora_alpha, rank=args.lora_r)
+
+            def lora_step(carry, batch):
+                lora, opt_state, step_count = carry
+                (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(lora, batch)
+                updates, opt_state = lora_tx.update(grads, opt_state, lora)
+                return (_optax.apply_updates(lora, updates), opt_state, step_count + 1), metrics
+
+            lora_opt_state = lora_tx.init(lora)
+            lora_step_fn = jax.jit(lora_step, donate_argnums=0)
+            carry = (lora, lora_opt_state, jnp.int32(0))
+            t0 = time.time()
+            step = 0
+            while step < total_steps:
+                advanced = False
+                for batch in iter_batches(dataset, collator, batch_size, seed=args.seed + step,
+                                          group_by_modality=args.group_by_modality_length):
+                    advanced = True
+                    jbatch = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, str)}
+                    carry, metrics = lora_step_fn(carry, shard_batch_tree(jbatch, mesh))
+                    step += 1
+                    if step % args.logging_steps == 0:
+                        print(f"[lora] step {step}/{total_steps} loss {float(metrics['loss']):.4f}")
+                    if step >= total_steps:
+                        break
+                if not advanced:
+                    raise RuntimeError("no full batches; reduce batch size")
+            from .lora import export_peft_adapter
+
+            export_peft_adapter(jax.device_get(carry[0]), args.output_dir,
+                                alpha=args.lora_alpha, rank=args.lora_r)
+            print(f"exported LoRA adapter to {args.output_dir}")
+            return
 
         step_fn = jax.jit(make_train_step(model, optimizer, modal=modal), donate_argnums=0)
 

@@ -114,3 +114,35 @@ def test_train_cli_two_stage(setup):
         "--warmup-ratio", "0",
     ])
     assert os.path.isdir(os.path.join(out2, "checkpoints"))
+
+
+def test_train_cli_lora(setup):
+    import os
+
+    from hicom_tpu.train.cli import main
+
+    out = str(setup["root"] / "lora")
+    main([
+        "--model-path", setup["llm"],
+        "--vision-tower", setup["tower"],
+        "--mm-projector-type", "local43_global32",
+        "--mm-tunable-parts", "language_model",
+        "--lora-enable", "--lora-r", "4", "--lora-alpha", "8",
+        "--data-path", setup["data"],
+        "--data-folder", setup["imgs"],
+        "--learning-rate", "1e-3",
+        "--num-train-epochs", "1",
+        "--per-device-train-batch-size", "1",
+        "--dp", "8", "--fsdp", "1", "--tp", "1",
+        "--output-dir", out,
+        "--dtype", "float32",
+        "--logging-steps", "1",
+        "--warmup-ratio", "0",
+    ])
+    assert os.path.exists(os.path.join(out, "adapter_model.bin"))
+    assert os.path.exists(os.path.join(out, "adapter_config.json"))
+
+    from hicom_tpu.train.lora import load_peft_adapter
+
+    lora, alpha, rank = load_peft_adapter(out)
+    assert rank == 4 and alpha == 8 and len(lora) > 0
