@@ -33,6 +33,7 @@ def _flash_kernel(
     k_ref,  # (1, bk, d)
     v_ref,  # (1, bk, d)
     o_ref,  # (1, bq, d)
+    lse_ref,  # (1, bq) f32 — logsumexp output (for the backward pass)
     acc_ref,  # (bq, d) f32 scratch
     m_ref,  # (bq, 1) f32 scratch — running max
     l_ref,  # (bq, 1) f32 scratch — running denominator
@@ -96,31 +97,16 @@ def _flash_kernel(
     def _finish():
         denom = jnp.maximum(l_ref[:], 1e-30)
         o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+        lse_ref[0] = (m_ref[:] + jnp.log(denom))[:, 0]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("scale", "logit_bias", "is_causal", "block_q", "block_k", "interpret"),
-)
-def _flash_bhld(
-    q: jnp.ndarray,  # (BH, Lq, d)
-    k: jnp.ndarray,  # (BH, Lk, d)
-    v: jnp.ndarray,
-    scale: float,
-    logit_bias: float,
-    is_causal: bool,
-    block_q: int,
-    block_k: int,
-    interpret: bool,
-) -> jnp.ndarray:
+def _pad_to_blocks(q, k, v, block_q, block_k):
     bh, q_len, d = q.shape
     kv_len = k.shape[1]
     bq = min(block_q, max(q_len, 8))
     bk = min(block_k, max(kv_len, 128))
     nq = pl.cdiv(q_len, bq)
     nk = pl.cdiv(kv_len, bk)
-
-    # pad seq lens to block multiples (masked out in-kernel)
     q_pad = nq * bq - q_len
     k_pad = nk * bk - kv_len
     if q_pad:
@@ -128,13 +114,19 @@ def _flash_bhld(
     if k_pad:
         k = jnp.pad(k, ((0, 0), (0, k_pad), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, k_pad), (0, 0)))
+    return q, k, v, bq, bk, nq, nk
 
+
+def _flash_fwd_impl(q, k, v, scale, logit_bias, is_causal, block_q, block_k, interpret):
+    bh, q_len, d = q.shape
+    kv_len = k.shape[1]
+    qp, kp, vp, bq, bk, nq, nk = _pad_to_blocks(q, k, v, block_q, block_k)
     kernel = functools.partial(
         _flash_kernel,
         scale=scale, logit_bias=logit_bias, causal=is_causal,
         q_len=q_len, kv_len=kv_len, block_q=bq, block_k=bk,
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=(bh, nq, nk),
         in_specs=[
@@ -142,8 +134,14 @@ def _flash_bhld(
             pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, nq * bq, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq), lambda b, i, j: (b, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nq * bq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, nq * bq), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((bq, d), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -153,8 +151,174 @@ def _flash_bhld(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v)
-    return out[:, :q_len]
+    )(qp, kp, vp)
+    return out[:, :q_len], lse[:, :q_len]
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_ref,
+    *, scale, logit_bias, causal, q_len, kv_len, block_q, block_k,
+):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def compute():
+        s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale + logit_bias
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = k_pos < kv_len
+        if causal:
+            mask &= k_pos <= q_pos
+        p = jnp.where(mask, jnp.exp(s - lse_ref[0][:, None]), 0.0)
+        dp = jax.lax.dot_general(do_ref[0].astype(jnp.float32), v_ref[0].astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0][:, None])
+        acc_ref[:] += scale * jax.lax.dot_general(
+            ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if causal:
+        @pl.when(ki * block_k <= qi * block_q + block_q - 1)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(ki == pl.num_programs(2) - 1)
+    def _():
+        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+    *, scale, logit_bias, causal, q_len, kv_len, block_q, block_k,
+):
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    def compute():
+        s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale + logit_bias
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = (k_pos < kv_len) & (q_pos < q_len)
+        if causal:
+            mask &= k_pos <= q_pos
+        p = jnp.where(mask, jnp.exp(s - lse_ref[0][:, None]), 0.0)
+        # dV += P^T dO
+        dv_acc[:] += jax.lax.dot_general(
+            p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do_ref[0].astype(jnp.float32), v_ref[0].astype(jnp.float32),
+                                 (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0][:, None])
+        # dK += dS^T Q * scale
+        dk_acc[:] += scale * jax.lax.dot_general(
+            ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if causal:
+        @pl.when(qi * block_q + block_q - 1 >= ki * block_k)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(qi == nq - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, out, lse, do, scale, logit_bias, is_causal, block_q, block_k, interpret):
+    bh, q_len, d = q.shape
+    kv_len = k.shape[1]
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (bh, Lq)
+    qp, kp, vp, bq, bk, nq, nk = _pad_to_blocks(q, k, v, block_q, block_k)
+    do_p = jnp.pad(do, ((0, 0), (0, nq * bq - q_len), (0, 0))) if nq * bq != q_len else do
+    # padded q rows: lse=+inf → p=0 keeps them inert in the dkv pass
+    lse_p = jnp.pad(lse, ((0, 0), (0, nq * bq - q_len)), constant_values=jnp.inf)
+    delta_p = jnp.pad(delta, ((0, 0), (0, nq * bq - q_len)))
+
+    common = dict(scale=scale, logit_bias=logit_bias, causal=is_causal,
+                  q_len=q_len, kv_len=kv_len, block_q=bq, block_k=bk)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **common),
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq), lambda b, i, j: (b, i)),
+            pl.BlockSpec((1, bq), lambda b, i, j: (b, i)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, nq * bq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, do_p, lse_p, delta_p)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **common),
+        grid=(bh, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, bq), lambda b, j, i: (b, i)),
+            pl.BlockSpec((1, bq), lambda b, j, i: (b, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nk * bk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, nk * bk, d), v.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((bk, d), jnp.float32), pltpu.VMEM((bk, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, do_p, lse_p, delta_p)
+    return dq[:, :q_len], dk[:, :kv_len], dv[:, :kv_len]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash_bhld(q, k, v, scale, logit_bias, is_causal, block_q, block_k, interpret):
+    out, _ = _flash_fwd_impl(q, k, v, scale, logit_bias, is_causal, block_q, block_k, interpret)
+    return out
+
+
+def _flash_bhld_fwd(q, k, v, scale, logit_bias, is_causal, block_q, block_k, interpret):
+    out, lse = _flash_fwd_impl(q, k, v, scale, logit_bias, is_causal, block_q, block_k, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_bhld_bwd(scale, logit_bias, is_causal, block_q, block_k, interpret, res, do):
+    q, k, v, out, lse = res
+    return _flash_bwd_impl(q, k, v, out, lse, do, scale, logit_bias, is_causal, block_q, block_k, interpret)
+
+
+_flash_bhld.defvjp(_flash_bhld_fwd, _flash_bhld_bwd)
 
 
 def flash_attention(

@@ -39,3 +39,37 @@ def test_flash_logit_bias():
     ref = sdpa(q, k, v, scale=0.7, logit_bias=-1.3)
     got = flash_attention(q, k, v, scale=0.7, logit_bias=-1.3, block_q=32, block_k=32, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("q_len,kv_len,causal", [(128, 128, True), (100, 100, True), (64, 200, False)])
+def test_flash_backward_matches_einsum_grad(q_len, kv_len, causal):
+    import jax
+
+    rng = np.random.default_rng(5)
+    bh, d = 2, 32
+    q = jnp.asarray(rng.standard_normal((bh, q_len, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((bh, kv_len, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((bh, kv_len, d)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((bh, q_len, d)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, is_causal=causal, block_q=64, block_k=64, interpret=True)
+        return jnp.sum(o * g)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sdpa(q, k, v, is_causal=causal) * g)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_flash_forward_value_unchanged_with_vjp():
+    rng = np.random.default_rng(6)
+    q = jnp.asarray(rng.standard_normal((1, 100, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 150, 32)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 150, 32)).astype(np.float32))
+    ref = sdpa(q, k, v, scale=0.5, logit_bias=0.3)
+    got = flash_attention(q, k, v, scale=0.5, logit_bias=0.3, block_q=64, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
