@@ -149,6 +149,7 @@ class DecoderAttention(nn.Module):
         cache_valid: Optional[Array] = None,  # (b, S) bool, already including this step
         padding_mask: Optional[Array] = None,  # (b, L) bool; True = real token
         prefill_from_empty: bool = False,  # static: cache known empty → attend current tokens only
+        padding_right_aligned: bool = True,  # static: padding_mask is a per-row suffix
     ):
         b, L, _ = x.shape
         H, KVH, hd = self.num_heads, self.num_kv_heads, self.head_dim
@@ -177,14 +178,19 @@ class DecoderAttention(nn.Module):
             if prefill_from_empty:
                 # cache known empty: attend within the L new tokens only —
                 # avoids an L×cache_len contraction and enables flash.
+                kv_lengths = None
                 if padding_mask is None:
                     mask = None
+                elif padding_right_aligned:
+                    mask = None
+                    kv_lengths = jnp.sum(padding_mask.astype(jnp.int32), axis=-1)
                 else:
                     kv_pos = jnp.arange(L)[None, None, None, :]
                     q_pos = jnp.arange(L)[None, None, :, None]
                     mask = (kv_pos <= q_pos) & padding_mask[:, None, None, :]
                 k_att, v_att = k, v
             else:
+                kv_lengths = None
                 # Causality over cache SLOTS (append-only), not rope positions:
                 # with right padding the two diverge (pads consume slots but
                 # not positions). Padding slots are excluded via the bitmap.
@@ -194,10 +200,16 @@ class DecoderAttention(nn.Module):
                 mask = mask & cache_valid[:, None, None, :]
                 k_att, v_att = ck, cv
         else:
+            kv_lengths = None
             if padding_mask is None:
                 # positions are arange by construction → plain causal; lets the
                 # auto path pick the Pallas flash kernel on TPU.
                 mask = None
+            elif padding_right_aligned:
+                # collator pads on the right: the mask is a per-row length —
+                # flash-compatible (padded queries emit garbage the loss masks).
+                mask = None
+                kv_lengths = jnp.sum(padding_mask.astype(jnp.int32), axis=-1)
             else:
                 kv_pos = positions[:, None, None, :]  # (b, 1, 1, L)
                 q_pos = positions[:, None, :, None]  # (b, 1, L, 1)
@@ -207,7 +219,8 @@ class DecoderAttention(nn.Module):
         # GQA: repeat kv heads to match q heads.
         k_att = jnp.repeat(k_att, group, axis=1)
         v_att = jnp.repeat(v_att, group, axis=1)
-        out = sdpa(q, k_att, v_att, scale=hd**-0.5, mask=mask, is_causal=mask is None)
+        out = sdpa(q, k_att, v_att, scale=hd**-0.5, mask=mask,
+                   is_causal=mask is None, kv_lengths=kv_lengths)
         out = out.transpose(0, 2, 1, 3).reshape(b, L, H * hd)
         out = make_dense(self.quantized, self.hidden_size, False, self.dtype, "o_proj")(out)
         return out, new_cache_kv
@@ -232,7 +245,7 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, cache_kv=None, cache_length=None, cache_valid=None,
-                 padding_mask=None, prefill_from_empty=False):
+                 padding_mask=None, prefill_from_empty=False, padding_right_aligned=True):
         cfg = self.config
         h = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="input_layernorm")(x)
         quantized = getattr(cfg, "quantization", None) == "int8"
@@ -240,7 +253,8 @@ class DecoderLayer(nn.Module):
             cfg.hidden_size, cfg.num_attention_heads, cfg.num_key_value_heads,
             cfg.head_dim, cfg.rope_theta, cfg.attention_bias, quantized,
             dtype=self.dtype, name="self_attn",
-        )(h, positions, cache_kv, cache_length, cache_valid, padding_mask, prefill_from_empty)
+        )(h, positions, cache_kv, cache_length, cache_valid, padding_mask, prefill_from_empty,
+          padding_right_aligned)
         x = x + attn_out
         h = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="post_attention_layernorm")(x)
         x = x + DecoderMLP(cfg.hidden_size, cfg.intermediate_size, quantized, dtype=self.dtype, name="mlp")(h)
@@ -275,6 +289,7 @@ class Qwen2Model(nn.Module):
         cache: Optional[KVCache] = None,
         padding_mask: Optional[Array] = None,
         prefill_from_empty: bool = False,
+        padding_right_aligned: bool = True,
     ) -> Tuple[Array, Optional[KVCache]]:
         x = inputs_embeds.astype(self.dtype)
         b, L = inputs_embeds.shape[:2]
@@ -288,7 +303,7 @@ class Qwen2Model(nn.Module):
             x, new_cache_kv = layer(
                 x, positions, cache_kv,
                 cache.length if cache is not None else None,
-                cache_valid, padding_mask, prefill_from_empty,
+                cache_valid, padding_mask, prefill_from_empty, padding_right_aligned,
             )
             if new_cache_kv is not None:
                 new_k.append(new_cache_kv[0])

@@ -28,6 +28,7 @@ def sdpa(
     logit_bias: Union[float, jnp.ndarray] = 0.0,
     mask: Optional[jnp.ndarray] = None,
     is_causal: bool = False,
+    kv_lengths: Optional[jnp.ndarray] = None,
     implementation: str = "auto",
 ) -> jnp.ndarray:
     """Attention over the last two axes: q (..., Q, d), k/v (..., K, d).
@@ -35,6 +36,8 @@ def sdpa(
     * ``scale``: logits multiplier; default ``1/sqrt(d)``.
     * ``logit_bias``: additive term applied to all logits (SigLIP logit_bias).
     * ``mask``: boolean (..., Q, K); True = attend.
+    * ``kv_lengths``: (batch,) right-aligned valid kv lengths — the flash-
+      compatible alternative to a dense padding mask.
     * fp32 softmax regardless of input dtype; output in q.dtype.
     """
     if implementation == "auto":
@@ -64,7 +67,7 @@ def sdpa(
             q, k, v,
             scale=float(scale) if scale is not None else None,
             logit_bias=float(logit_bias),
-            mask=mask, is_causal=is_causal,
+            mask=mask, is_causal=is_causal, kv_lengths=kv_lengths,
         )
 
     d = q.shape[-1]
@@ -76,6 +79,11 @@ def sdpa(
         qlen, klen = logits.shape[-2], logits.shape[-1]
         causal = jnp.tril(jnp.ones((qlen, klen), dtype=bool), k=klen - qlen)
         logits = jnp.where(causal, logits, -jnp.inf)
+    if kv_lengths is not None:
+        klen = logits.shape[-1]
+        len_mask = jnp.arange(klen)[None, :] < kv_lengths[:, None]  # (b, K)
+        len_mask = len_mask.reshape((kv_lengths.shape[0],) + (1,) * (logits.ndim - 2) + (klen,))
+        logits = jnp.where(len_mask, logits, jnp.finfo(jnp.float32).min)
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)

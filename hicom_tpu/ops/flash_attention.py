@@ -29,6 +29,7 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(
+    kv_len_ref,  # (1,) int32 SMEM — per-row valid kv length
     q_ref,  # (1, bq, d)
     k_ref,  # (1, bk, d)
     v_ref,  # (1, bk, d)
@@ -66,7 +67,7 @@ def _flash_kernel(
 
         q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
         k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        mask = k_pos < kv_len  # padding of the last kv block
+        mask = k_pos < jnp.minimum(kv_len, kv_len_ref[0])  # block pad + row pad
         if causal:
             mask &= k_pos <= q_pos
         logits = jnp.where(mask, logits, NEG_INF)
@@ -117,7 +118,7 @@ def _pad_to_blocks(q, k, v, block_q, block_k):
     return q, k, v, bq, bk, nq, nk
 
 
-def _flash_fwd_impl(q, k, v, scale, logit_bias, is_causal, block_q, block_k, interpret):
+def _flash_fwd_impl(q, k, v, kv_lengths, scale, logit_bias, is_causal, block_q, block_k, interpret):
     bh, q_len, d = q.shape
     kv_len = k.shape[1]
     qp, kp, vp, bq, bk, nq, nk = _pad_to_blocks(q, k, v, block_q, block_k)
@@ -130,6 +131,7 @@ def _flash_fwd_impl(q, k, v, scale, logit_bias, is_causal, block_q, block_k, int
         kernel,
         grid=(bh, nq, nk),
         in_specs=[
+            pl.BlockSpec((1,), lambda b, i, j: (b,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
@@ -151,11 +153,12 @@ def _flash_fwd_impl(q, k, v, scale, logit_bias, is_causal, block_q, block_k, int
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp)
+    )(kv_lengths, qp, kp, vp)
     return out[:, :q_len], lse[:, :q_len]
 
 
 def _bwd_dq_kernel(
+    kv_len_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_ref,
     *, scale, logit_bias, causal, q_len, kv_len, block_q, block_k,
 ):
@@ -172,7 +175,7 @@ def _bwd_dq_kernel(
                                 preferred_element_type=jnp.float32) * scale + logit_bias
         q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
         k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        mask = k_pos < kv_len
+        mask = k_pos < jnp.minimum(kv_len, kv_len_ref[0])
         if causal:
             mask &= k_pos <= q_pos
         p = jnp.where(mask, jnp.exp(s - lse_ref[0][:, None]), 0.0)
@@ -196,6 +199,7 @@ def _bwd_dq_kernel(
 
 
 def _bwd_dkv_kernel(
+    kv_len_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc,
     *, scale, logit_bias, causal, q_len, kv_len, block_q, block_k,
 ):
@@ -213,7 +217,7 @@ def _bwd_dkv_kernel(
                                 preferred_element_type=jnp.float32) * scale + logit_bias
         q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
         k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        mask = (k_pos < kv_len) & (q_pos < q_len)
+        mask = (k_pos < jnp.minimum(kv_len, kv_len_ref[0])) & (q_pos < q_len)
         if causal:
             mask &= k_pos <= q_pos
         p = jnp.where(mask, jnp.exp(s - lse_ref[0][:, None]), 0.0)
@@ -242,7 +246,7 @@ def _bwd_dkv_kernel(
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _flash_bwd_impl(q, k, v, out, lse, do, scale, logit_bias, is_causal, block_q, block_k, interpret):
+def _flash_bwd_impl(q, k, v, kv_lengths, out, lse, do, scale, logit_bias, is_causal, block_q, block_k, interpret):
     bh, q_len, d = q.shape
     kv_len = k.shape[1]
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (bh, Lq)
@@ -258,6 +262,7 @@ def _flash_bwd_impl(q, k, v, out, lse, do, scale, logit_bias, is_causal, block_q
         functools.partial(_bwd_dq_kernel, **common),
         grid=(bh, nq, nk),
         in_specs=[
+            pl.BlockSpec((1,), lambda b, i, j: (b,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
@@ -272,12 +277,13 @@ def _flash_bwd_impl(q, k, v, out, lse, do, scale, logit_bias, is_causal, block_q
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp, do_p, lse_p, delta_p)
+    )(kv_lengths, qp, kp, vp, do_p, lse_p, delta_p)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, **common),
         grid=(bh, nk, nq),
         in_specs=[
+            pl.BlockSpec((1,), lambda b, j, i: (b,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),
             pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
             pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
@@ -298,24 +304,29 @@ def _flash_bwd_impl(q, k, v, out, lse, do, scale, logit_bias, is_causal, block_q
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp, do_p, lse_p, delta_p)
+    )(kv_lengths, qp, kp, vp, do_p, lse_p, delta_p)
     return dq[:, :q_len], dk[:, :kv_len], dv[:, :kv_len]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def _flash_bhld(q, k, v, scale, logit_bias, is_causal, block_q, block_k, interpret):
-    out, _ = _flash_fwd_impl(q, k, v, scale, logit_bias, is_causal, block_q, block_k, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash_bhld(q, k, v, kv_lengths, scale, logit_bias, is_causal, block_q, block_k, interpret):
+    out, _ = _flash_fwd_impl(q, k, v, kv_lengths, scale, logit_bias, is_causal, block_q, block_k, interpret)
     return out
 
 
-def _flash_bhld_fwd(q, k, v, scale, logit_bias, is_causal, block_q, block_k, interpret):
-    out, lse = _flash_fwd_impl(q, k, v, scale, logit_bias, is_causal, block_q, block_k, interpret)
-    return out, (q, k, v, out, lse)
+def _flash_bhld_fwd(q, k, v, kv_lengths, scale, logit_bias, is_causal, block_q, block_k, interpret):
+    out, lse = _flash_fwd_impl(q, k, v, kv_lengths, scale, logit_bias, is_causal, block_q, block_k, interpret)
+    return out, (q, k, v, kv_lengths, out, lse)
 
 
 def _flash_bhld_bwd(scale, logit_bias, is_causal, block_q, block_k, interpret, res, do):
-    q, k, v, out, lse = res
-    return _flash_bwd_impl(q, k, v, out, lse, do, scale, logit_bias, is_causal, block_q, block_k, interpret)
+    import numpy as _np
+
+    q, k, v, kv_lengths, out, lse = res
+    dq, dk, dv = _flash_bwd_impl(q, k, v, kv_lengths, out, lse, do, scale, logit_bias,
+                                 is_causal, block_q, block_k, interpret)
+    dlen = _np.zeros(kv_lengths.shape, jax.dtypes.float0)
+    return dq, dk, dv, dlen
 
 
 _flash_bhld.defvjp(_flash_bhld_fwd, _flash_bhld_bwd)
@@ -330,16 +341,19 @@ def flash_attention(
     logit_bias: Union[float, jnp.ndarray] = 0.0,
     mask: Optional[jnp.ndarray] = None,
     is_causal: bool = False,
+    kv_lengths: Optional[jnp.ndarray] = None,  # per-LEADING-batch valid kv lengths
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.attention.sdpa on TPU.
 
-    Arbitrary boolean masks are not supported in-kernel (only causal/padding);
-    callers with custom masks should use the einsum path.
+    Masking in-kernel: causal and/or per-row valid kv length (right-aligned
+    padding). Arbitrary boolean masks use the einsum path instead.
+    ``kv_lengths``: (batch,) int32, broadcast over any head axes between the
+    batch axis and the (L, d) tail.
     """
-    assert mask is None, "flash_attention supports causal/padding masks only"
+    assert mask is None, "flash_attention supports causal/length masks only"
     d = q.shape[-1]
     if scale is None:
         scale = 1.0 / (d**0.5)
@@ -350,5 +364,11 @@ def flash_attention(
     q3 = q.reshape((-1,) + q.shape[-2:])
     k3 = k.reshape((-1,) + k.shape[-2:])
     v3 = v.reshape((-1,) + v.shape[-2:])
-    out = _flash_bhld(q3, k3, v3, scale, logit_bias, is_causal, block_q, block_k, interpret)
+    bh = q3.shape[0]
+    if kv_lengths is None:
+        lens = jnp.full((bh,), k.shape[-2], jnp.int32)
+    else:
+        reps = bh // kv_lengths.shape[0]
+        lens = jnp.repeat(kv_lengths.astype(jnp.int32), reps)
+    out = _flash_bhld(q3, k3, v3, lens, scale, logit_bias, is_causal, block_q, block_k, interpret)
     return out.reshape(lead + out.shape[-2:])

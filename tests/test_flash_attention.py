@@ -73,3 +73,42 @@ def test_flash_forward_value_unchanged_with_vjp():
     ref = sdpa(q, k, v, scale=0.5, logit_bias=0.3)
     got = flash_attention(q, k, v, scale=0.5, logit_bias=0.3, block_q=64, block_k=64, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_kv_lengths_matches_dense_mask():
+    """Per-row kv lengths (right padding) vs explicit dense mask, fwd + bwd."""
+    import jax
+
+    rng = np.random.default_rng(8)
+    b, h, L, d = 2, 2, 96, 32
+    q = jnp.asarray(rng.standard_normal((b, h, L, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, L, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, L, d)).astype(np.float32))
+    lens = jnp.asarray([60, 96], jnp.int32)
+    g = jnp.asarray(rng.standard_normal((b, h, L, d)).astype(np.float32))
+
+    kv_pos = jnp.arange(L)[None, None, None, :]
+    q_pos = jnp.arange(L)[None, None, :, None]
+    dense = (kv_pos <= q_pos) & (kv_pos < lens[:, None, None, None])
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, is_causal=True, kv_lengths=lens,
+                            block_q=32, block_k=32, interpret=True)
+        valid = (jnp.arange(L)[None, :] < lens[:, None])[:, None, :, None]
+        return jnp.sum(jnp.where(valid, o, 0.0) * g)
+
+    def loss_ref(q, k, v):
+        o = sdpa(q, k, v, mask=dense)
+        valid = (jnp.arange(L)[None, :] < lens[:, None])[:, None, :, None]
+        return jnp.sum(jnp.where(valid, o, 0.0) * g)
+
+    of = flash_attention(q, k, v, is_causal=True, kv_lengths=lens, block_q=32, block_k=32, interpret=True)
+    oe = sdpa(q, k, v, mask=dense)
+    valid = (jnp.arange(L)[None, :] < lens[:, None])[:, None, :, None]
+    np.testing.assert_allclose(np.asarray(jnp.where(valid, of, 0)), np.asarray(jnp.where(valid, oe, 0)),
+                               rtol=2e-5, atol=2e-5)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, bb, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=2e-4, atol=2e-4, err_msg=name)
