@@ -235,6 +235,7 @@ class HIComModel(nn.Module):
         guide_ids: Optional[Array] = None,
         guide_mask: Optional[Array] = None,
         modal: str = "video",
+        multi_image: bool = False,  # static: frames is (b, K, 3, H, W) — K images, K sentinels
     ):
         """Returns (logits, spliced labels, attention mask)."""
         visual = None
@@ -242,7 +243,18 @@ class HIComModel(nn.Module):
             guide_embeds = None
             if self.config.guide_enabled():
                 guide_embeds = self.encode_guide(guide_ids, guide_mask)
-            visual = self.encode_visual(frames, guide_embeds, modal)
+            if multi_image and modal == "image":
+                # each image is its own single-frame sample; rows with fewer
+                # sentinels than K ignore the surplus (multi-sentinel splice).
+                b, K = frames.shape[:2]
+                flat = frames.reshape(b * K, 1, *frames.shape[2:])
+                ge = None
+                if guide_embeds is not None:
+                    ge = jnp.repeat(guide_embeds, K, axis=0)
+                visual = self.encode_visual(flat, ge, "image")
+                visual = visual.reshape(b, K, visual.shape[-2], visual.shape[-1])
+            else:
+                visual = self.encode_visual(frames, guide_embeds, modal)
         spliced = self.embed_and_splice(input_ids, visual, attention_mask, labels)
         logits, _ = self.decode(spliced.embeds, spliced.positions, padding_mask=spliced.attention_mask)
         return logits, spliced.labels, spliced.attention_mask

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..config import GlobalCompressorSpec, HIComConfig, LocalCompressorSpec
 from ..ops.attention import sdpa
-from ..ops.grouping import tile_thw, tiled_shape
+from ..ops.grouping import tile_thw
 from ..ops.pos_embed import get_3d_sincos_pos_embed
 from ..ops.resize import resize_thw
 from .layers import MultiheadAttention, TorchMLP, l2_normalize, trunc_normal_init

@@ -38,7 +38,7 @@ def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> tuple[jnp.ndarra
     return jnp.sum(jnp.where(valid, ll, 0.0)) / n, n
 
 
-def make_loss_fn(model, modal: str = "video", has_frames: bool = True):
+def make_loss_fn(model, modal: str = "video", has_frames: bool = True, multi_image: bool = False):
     def loss_fn(params, batch):
         logits, labels, _ = model.apply(
             {"params": params},
@@ -49,6 +49,7 @@ def make_loss_fn(model, modal: str = "video", has_frames: bool = True):
             guide_ids=batch.get("guide_ids"),
             guide_mask=batch.get("guide_mask"),
             modal=modal,
+            multi_image=multi_image,
         )
         loss, n = causal_lm_loss(logits, labels)
         return loss, {"loss": loss, "target_tokens": n}
@@ -56,8 +57,8 @@ def make_loss_fn(model, modal: str = "video", has_frames: bool = True):
     return loss_fn
 
 
-def make_train_step(model, optimizer, modal: str = "video", has_frames: bool = True):
-    loss_fn = make_loss_fn(model, modal, has_frames)
+def make_train_step(model, optimizer, modal: str = "video", has_frames: bool = True, multi_image: bool = False):
+    loss_fn = make_loss_fn(model, modal, has_frames, multi_image)
 
     def train_step(state: TrainState, batch):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)

@@ -269,3 +269,24 @@ def test_multi_sentinel_splice():
     single = splice_visual_embeds(jnp.asarray(ids1), jnp.asarray(text1), jnp.asarray(vis1[:, 0]))
     np.testing.assert_allclose(np.asarray(multi.embeds), np.asarray(single.embeds))
     np.testing.assert_array_equal(np.asarray(multi.attention_mask), np.asarray(single.attention_mask))
+
+
+def test_multi_image_forward_path():
+    """K images per row, K sentinels: per-image encoding + K-sentinel splice."""
+    cfg, model = make_model()
+    rng = np.random.default_rng(11)
+    img = cfg.vision_config.image_size
+    K = 2
+    frames = jnp.asarray(rng.standard_normal((2, K, 3, img, img)).astype(np.float32))
+    ids = rng.integers(5, cfg.text_config.vocab_size, (2, 12))
+    ids[0, 1] = -200
+    ids[0, 4] = -200  # two images row 0
+    ids[1, 2] = -200  # one image row 1 (surplus visual ignored)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(ids), frames, modal="image", multi_image=True)
+    logits, labels, mask = model.apply(
+        {"params": variables["params"]}, jnp.asarray(ids), frames, modal="image", multi_image=True
+    )
+    bound = model.bind(variables)
+    V = bound.visual_token_count(1, "image")
+    assert logits.shape[1] == 12 + K * (V - 1)
+    assert bool(jnp.isfinite(logits).all())
