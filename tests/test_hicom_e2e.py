@@ -290,3 +290,24 @@ def test_multi_image_forward_path():
     V = bound.visual_token_count(1, "image")
     assert logits.shape[1] == 12 + K * (V - 1)
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_top_p_sampling_cutoff():
+    """top-p keeps the minimal prefix of sorted probs whose mass reaches p."""
+    import jax
+
+    from hicom_tpu.models.generate import sample_token
+
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+    # p=0.7: keep tokens 0,1 (0.5+0.3 >= 0.7); tokens 2,3 must never appear
+    seen = set()
+    for i in range(200):
+        tok = int(sample_token(logits, jax.random.PRNGKey(i), temperature=1.0, top_p=0.7)[0])
+        seen.add(tok)
+    assert seen <= {0, 1}, seen
+    assert seen == {0, 1}
+
+    # p→0 degenerates to greedy; temperature=0 is argmax
+    tok = int(sample_token(logits, jax.random.PRNGKey(0), temperature=1.0, top_p=0.01)[0])
+    assert tok == 0
+    assert int(sample_token(logits, jax.random.PRNGKey(1), temperature=0.0, top_p=0.9)[0]) == 0
