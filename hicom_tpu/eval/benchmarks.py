@@ -216,12 +216,29 @@ MLVU_TASKS = {
 }
 
 
+def _prefetched(items, prepare):
+    """One-ahead prefetch: decode the next video on a worker thread while the
+    chip runs the current sample (the reference leans on torch DataLoader
+    workers; SURVEY §7 flags host decode as the bottleneck)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    items = list(items)
+    if not items:
+        return
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(prepare, items[0])
+        for nxt in items[1:]:
+            cur = fut.result()
+            fut = pool.submit(prepare, nxt)
+            yield cur
+        yield fut.result()
+
+
 def run_mcqa(items, prepare, record, infer, infer_batch=None, batch_size: int = 1):
     """Drive MCQA samples singly or in same-shape batches (one compiled
     prefill+decode per batch — the TPU-native replacement for per-GPU fan-out)."""
     if infer_batch is None or batch_size <= 1:
-        for item in items:
-            prep = prepare(item)
+        for prep in _prefetched(items, prepare):
             out = infer(prep[0], prep[1], modal="video", guide_instruct=prep[2]["question"])
             record(out, prep)
         return
@@ -237,8 +254,7 @@ def run_mcqa(items, prepare, record, infer, infer_batch=None, batch_size: int = 
             record(out, prep)
         pending.clear()
 
-    for item in items:
-        prep = prepare(item)
+    for prep in _prefetched(items, prepare):
         if pending and prep[0].shape != pending[0][0].shape:
             flush()
         pending.append(prep)
