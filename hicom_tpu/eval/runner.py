@@ -33,11 +33,18 @@ def build_parser():
     p.add_argument("--max-new-tokens", type=int, default=1024)
     p.add_argument("--batch-size", type=int, default=1,
                    help="videos per compiled generate step (MCQA benchmarks)")
+    p.add_argument("--skip-existing", action="store_true",
+                   help="skip inference when the answer file already exists (reference guardrail)")
     return p
 
 
 def main(argv=None):
+    import os
+
     args = build_parser().parse_args(argv)
+    if args.skip_existing and os.path.exists(args.answer_file) and os.path.getsize(args.answer_file) > 0:
+        print(f"answer file exists, skipping: {args.answer_file}", file=sys.stderr)
+        return
     model, processor, tokenizer = model_init(args.model_path, model_base=args.model_base, dtype=args.dtype)
     args.model_id = get_model_name_from_path(args.model_path)
 
