@@ -27,9 +27,21 @@ def checkpoint(tmp_path_factory):
     tower_dir.mkdir()
     ckpt_dir.mkdir()
 
-    # tower dir: config.json for vision/text config resolution
+    # tower dir: config.json for vision/text config resolution + a tiny guide
+    # tokenizer so guide-enabled eval paths work offline
     with open(tower_dir / "config.json", "w") as f:
         json.dump({"model_type": "siglip", "vision_config": VIS, "text_config": TXT}, f)
+    from tokenizers import Tokenizer as _Tk, models as _tm, pre_tokenizers as _pt
+
+    gvocab = {"<unk>": 0, "<pad>": 1, "</s>": 2}
+    for gi, gw in enumerate(["what", "is", "in", "the", "video", "image", "color", "?", "a", "cat"]):
+        gvocab[gw] = 3 + gi
+    gtk = _Tk(_tm.WordLevel(gvocab, unk_token="<unk>"))
+    gtk.pre_tokenizer = _pt.Whitespace()
+    gtk.save(str(tower_dir / "tokenizer.json"))
+    with open(tower_dir / "tokenizer_config.json", "w") as f:
+        json.dump({"tokenizer_class": "PreTrainedTokenizerFast", "unk_token": "<unk>",
+                   "pad_token": "<pad>", "eos_token": "</s>", "model_max_length": 16}, f)
 
     torch.manual_seed(0)
     hf_llm = transformers.Qwen2ForCausalLM(transformers.Qwen2Config(**QWEN)).eval()
@@ -175,3 +187,46 @@ def test_mm_infer_batch_matches_single(checkpoint):
                                 guide_ids=g[None], max_new_tokens=5))
     assert isinstance(batched, list) and len(batched) == 2
     assert all(isinstance(s, str) for s in batched + singles)
+
+
+def test_eval_runner_image_vqa_end_to_end(checkpoint, tmp_path):
+    """Drive the eval runner CLI on the tiny checkpoint (image VQA benchmark)."""
+    from PIL import Image
+
+    from hicom_tpu.eval import runner
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(5)
+    questions = []
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (40, 50, 3), dtype=np.uint8)).save(img_dir / f"q{i}.png")
+        questions.append({"question_id": i, "image": f"q{i}.png",
+                          "text": "what color ?\nAnswer the question using a single word or phrase."})
+    qfile = tmp_path / "questions.jsonl"
+    qfile.write_text("\n".join(json.dumps(q) for q in questions))
+    afile = tmp_path / "answers.jsonl"
+
+    runner.main([
+        "--benchmark", "image_vqa", "--sub-benchmark", "pope",
+        "--model-path", checkpoint,
+        "--image-folder", str(img_dir),
+        "--question-file", str(qfile),
+        "--answer-file", str(afile),
+        "--dtype", "float32",
+        "--max-new-tokens", "4",
+    ])
+    rows = [json.loads(line) for line in open(afile)]
+    assert len(rows) == 2
+    assert {r["question_id"] for r in rows} == {0, 1}
+    assert all("text" in r and "answer_id" in r for r in rows)
+
+    # idempotency guardrail
+    runner.main([
+        "--benchmark", "image_vqa", "--sub-benchmark", "pope",
+        "--model-path", checkpoint,
+        "--image-folder", str(img_dir),
+        "--question-file", str(qfile),
+        "--answer-file", str(afile),
+        "--dtype", "float32", "--skip-existing",
+    ])
