@@ -56,8 +56,9 @@ def sdpa(
             and not isinstance(logit_bias, jax.core.Tracer)
             and q.shape[-2] * k.shape[-2] >= 128 * 128
             # d must be lane-aligned: at d=72 (SigLIP) the kernel pads to 128
-            # and loses to XLA's fused einsum end-to-end (measured).
-            and q.shape[-1] % 64 == 0
+            # and loses to XLA's fused einsum end-to-end (measured; knob for
+            # re-testing: HICOM_FLASH_MIN_LANE=8 admits d=72).
+            and q.shape[-1] % int(_os.environ.get("HICOM_FLASH_MIN_LANE", "64")) == 0
         ):
             implementation = "flash"
     if implementation == "flash":
