@@ -159,6 +159,7 @@ def load_model(
     cache_len: int = 4096,
     device: Optional[str] = None,
     load_8bit: bool = False,
+    scan_layers: bool = False,
 ) -> "HICom":
     """Load a checkpoint directory into a device-resident HICom runtime."""
     import jax
@@ -178,10 +179,14 @@ def load_model(
     qk_override = getattr(vision_cfg, "projection_dim", None)
     cfg = cfg.replace(vision_config=vision_cfg, guide_text_config=guide_cfg, dtype=dtype,
                       projector_qk_dim=qk_override)
-    if load_8bit:
+    if load_8bit or scan_layers:
         import dataclasses as _dc
 
-        cfg = cfg.replace(text_config=_dc.replace(cfg.text_config, quantization="int8"))
+        cfg = cfg.replace(text_config=_dc.replace(
+            cfg.text_config,
+            quantization="int8" if load_8bit else None,
+            scan_layers=scan_layers,
+        ))
 
     spec = cfg.projector
     params: Dict[str, Any] = {}
@@ -223,6 +228,8 @@ def load_model(
         from .models.qwen2 import quantize_decoder_params
 
         params["language_model"] = quantize_decoder_params(params["language_model"])
+    if scan_layers:
+        params["language_model"] = W.stack_decoder_layers(params["language_model"])
     params["vision_tower"] = W.convert_clip_vision(tower_sd) if is_clip else W.convert_siglip_vision(tower_sd)
     if cfg.guide_enabled():
         params["guide_encoder"] = W.convert_clip_text(tower_sd) if is_clip else W.convert_siglip_text(tower_sd)

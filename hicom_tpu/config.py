@@ -90,6 +90,10 @@ class Qwen2Config:
     bos_token_id: int = 151643
     # weight-only quantization of decoder linears: None | "int8"
     quantization: Optional[str] = None
+    # lax.scan over the layer stack: one compiled block instead of N unrolled
+    # copies (cuts compile time massively on remote-compile TPUs). Params are
+    # stacked on a leading layer axis (see weights.stack_decoder_layers).
+    scan_layers: bool = False
 
 
 @dataclass(frozen=True)
@@ -112,6 +116,7 @@ class LlamaConfig:
     pad_token_id: int = 0
     bos_token_id: int = 1
     quantization: Optional[str] = None
+    scan_layers: bool = False
 
 
 # --------------------------------------------------------------------------- #

@@ -261,6 +261,28 @@ class DecoderLayer(nn.Module):
         return x, new_cache_kv
 
 
+class DecoderLayerScanned(nn.Module):
+    """nn.scan wrapper: carry = hidden states, xs = per-layer cache slices."""
+
+    config: Any
+    prefill_from_empty: bool = False
+    padding_right_aligned: bool = True
+    use_cache: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, kv, positions, cache_length, cache_valid, padding_mask):
+        layer = DecoderLayer(self.config, dtype=self.dtype, name="layer")
+        cache_kv = kv if self.use_cache else None
+        x, new_kv = layer(
+            x, positions, cache_kv, cache_length, cache_valid, padding_mask,
+            self.prefill_from_empty, self.padding_right_aligned,
+        )
+        if not self.use_cache:
+            new_kv = (jnp.zeros((), x.dtype), jnp.zeros((), x.dtype))
+        return x, new_kv
+
+
 class Qwen2Model(nn.Module):
     """Decoder stack. ``__call__`` accepts embeddings (multimodal splice output)
     or token ids via :meth:`embed`."""
@@ -274,14 +296,16 @@ class Qwen2Model(nn.Module):
             cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
             param_dtype=jnp.float32, name="embed_tokens",
         )
-        self.layers = [
-            DecoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}") for i in range(cfg.num_hidden_layers)
-        ]
+        if not getattr(cfg, "scan_layers", False):
+            self.layers = [
+                DecoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}") for i in range(cfg.num_hidden_layers)
+            ]
         self.norm = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="norm")
 
     def embed(self, input_ids: Array) -> Array:
         return self.embed_tokens(input_ids)
 
+    @nn.compact
     def __call__(
         self,
         inputs_embeds: Array,  # (b, L, D)
@@ -297,6 +321,30 @@ class Qwen2Model(nn.Module):
         if cache is not None:
             step_valid = padding_mask.astype(bool) if padding_mask is not None else jnp.ones((b, L), bool)
             cache_valid = jax.lax.dynamic_update_slice(cache.valid, step_valid, (0, cache.length[0]))
+
+        if getattr(self.config, "scan_layers", False):
+            use_cache = cache is not None
+            scanned = nn.scan(
+                DecoderLayerScanned,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(((0, 0) if use_cache else (nn.broadcast, nn.broadcast)),
+                         nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+                out_axes=0,
+                length=self.config.num_hidden_layers,
+            )(self.config, prefill_from_empty, padding_right_aligned, use_cache,
+              dtype=self.dtype, name="layers")
+            kv_in = (cache.k, cache.v) if use_cache else (None, None)
+            x, new_kv = scanned(
+                x, kv_in, positions,
+                cache.length if use_cache else None,
+                cache_valid, padding_mask,
+            )
+            x = self.norm(x)
+            if use_cache:
+                return x, KVCache(new_kv[0], new_kv[1], cache.length + L, cache_valid)
+            return x, None
+
         new_k, new_v = [], []
         for i, layer in enumerate(self.layers):
             cache_kv = (cache.k[i], cache.v[i]) if cache is not None else None

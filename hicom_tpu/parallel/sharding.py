@@ -17,7 +17,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # Order matters: first match wins. Paths are "/"-joined param tree keys.
 DEFAULT_RULES: List[Tuple[str, P]] = [
-    # --- decoder (Qwen2 / Llama) ---
+    # --- decoder, nn.scan layout (leading layer axis stays unsharded) ---
+    (r"language_model/model/layers/layer/.*(q_proj|k_proj|v_proj|gate_proj|up_proj)/kernel$", P(None, "fsdp", "tp")),
+    (r"language_model/model/layers/layer/.*(o_proj|down_proj)/kernel$", P(None, "tp", "fsdp")),
+    (r"language_model/model/layers/layer/.*", P()),
+    # --- decoder (Qwen2 / Llama), unrolled layout ---
     (r"language_model/.*embed_tokens/embedding$", P("tp", "fsdp")),
     (r"language_model/.*(q_proj|k_proj|v_proj|gate_proj|up_proj)/kernel$", P("fsdp", "tp")),
     (r"language_model/.*(o_proj|down_proj)/kernel$", P("tp", "fsdp")),

@@ -41,6 +41,8 @@ def build_parser():
     p.add_argument("--max-num-frames", type=int, default=256)
     p.add_argument("--model-max-length", type=int, default=4096)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--scan-layers", action="store_true",
+                   help="lax.scan over decoder layers (fast compiles; stacked params)")
     # data
     p.add_argument("--data-path", nargs="+", required=True)
     p.add_argument("--data-folder", default=None)
@@ -102,6 +104,10 @@ def main(argv=None):
     if not base_cfg["model_type"].startswith("hicom_"):
         base_cfg["model_type"] = "hicom_qwen2" if "qwen2" in base_cfg["model_type"] else "hicom_llama"
     cfg = HIComConfig.from_hf_dict(base_cfg)
+    if args.scan_layers:
+        import dataclasses as _dc
+
+        cfg = cfg.replace(text_config=_dc.replace(cfg.text_config, scan_layers=True))
     vision_cfg, guide_cfg = _tower_configs(args.vision_tower)
     cfg = cfg.replace(
         vision_config=vision_cfg,
@@ -197,6 +203,8 @@ def main(argv=None):
         loaded: dict = {}
         llm_sd = W.load_hf_state_dict(args.model_path)
         loaded["language_model"] = W.convert_decoder(llm_sd, cfg.text_config.tie_word_embeddings)
+        if args.scan_layers:
+            loaded["language_model"] = W.stack_decoder_layers(loaded["language_model"])
         if os.path.isdir(args.vision_tower):
             tower_sd = W.load_hf_state_dict(args.vision_tower)
             loaded["vision_tower"] = W.convert_siglip_vision(tower_sd)

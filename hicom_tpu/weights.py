@@ -257,6 +257,36 @@ def convert_clip_text(state_dict: Mapping[str, np.ndarray]) -> dict:
     return torch_to_flax_params(state_dict, rename)
 
 
+def stack_decoder_layers(decoder_params: dict) -> dict:
+    """Convert per-layer params (model.layers_i.*) to the nn.scan layout
+    (model.layers.layer.* with a leading layer axis)."""
+    import jax
+
+    model = dict(decoder_params["model"])
+    layer_keys = sorted((k for k in model if re.fullmatch(r"layers_\d+", k)),
+                        key=lambda k: int(k.split("_")[1]))
+    layers = [model.pop(k) for k in layer_keys]
+    stacked = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *layers)
+    model["layers"] = {"layer": stacked}
+    out = dict(decoder_params)
+    out["model"] = model
+    return out
+
+
+def unstack_decoder_layers(decoder_params: dict) -> dict:
+    """Inverse of :func:`stack_decoder_layers` (for HF export)."""
+    import jax
+
+    model = dict(decoder_params["model"])
+    stacked = model.pop("layers")["layer"]
+    n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    for i in range(n):
+        model[f"layers_{i}"] = jax.tree.map(lambda x: np.asarray(x)[i], stacked)
+    out = dict(decoder_params)
+    out["model"] = model
+    return out
+
+
 def convert_decoder(state_dict: Mapping[str, np.ndarray], tie_word_embeddings: bool = False) -> dict:
     """HF Qwen2/Llama ForCausalLM → flax Qwen2ForCausalLM params.
 

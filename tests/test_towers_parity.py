@@ -205,3 +205,46 @@ def test_int8_weight_only_quantization():
     )
     rel = np.abs(np.asarray(q_logits) - np.asarray(fp_logits)).max() / (np.abs(np.asarray(fp_logits)).max() + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_scan_layers_matches_unrolled():
+    """nn.scan decoder (stacked params) == unrolled decoder == HF torch."""
+    import dataclasses
+
+    from hicom_tpu.models.qwen2 import KVCache
+    from hicom_tpu.weights import stack_decoder_layers, unstack_decoder_layers
+
+    hf, model, params, cfg = _build_qwen_pair(seed=9)
+    scan_cfg = dataclasses.replace(cfg, scan_layers=True)
+    scan_model = Qwen2ForCausalLM(config=scan_cfg)
+    scan_params = stack_decoder_layers(params)
+
+    ids = np.random.default_rng(9).integers(0, 128, (2, 11))
+    positions = jnp.broadcast_to(jnp.arange(11)[None], (2, 11))
+    with torch.no_grad():
+        ref_logits = hf(torch.from_numpy(ids)).logits.numpy()
+
+    expected = scan_model.init(
+        jax.random.PRNGKey(0), jnp.asarray(ids), positions,
+        method=lambda m, i, p: m(m.embed(i), p),
+    )["params"]
+    assert_tree_match(expected, scan_params)
+
+    embeds = scan_model.bind({"params": scan_params}).embed(jnp.asarray(ids))
+    logits, _ = scan_model.apply({"params": scan_params}, embeds, positions)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=3e-4, atol=3e-4)
+
+    # cache decode parity with the unrolled model
+    cache = KVCache.zeros(cfg.num_hidden_layers, 2, cfg.num_key_value_heads, 16, cfg.head_dim, jnp.float32)
+    lp, cache = scan_model.apply({"params": scan_params}, embeds[:, :6], positions[:, :6], cache)
+    np.testing.assert_allclose(np.asarray(lp), ref_logits[:, :6], rtol=3e-4, atol=3e-4)
+    step, cache = scan_model.apply({"params": scan_params}, embeds[:, 6:7], positions[:, 6:7], cache)
+    np.testing.assert_allclose(np.asarray(step[:, 0]), ref_logits[:, 6], rtol=3e-4, atol=3e-4)
+
+    # stack/unstack round trip
+    rt = unstack_decoder_layers(scan_params)
+    flat_a = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_flatten_with_path(params)[0]}
+    flat_b = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_flatten_with_path(rt)[0]}
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_allclose(np.asarray(flat_a[k]), np.asarray(flat_b[k]))
