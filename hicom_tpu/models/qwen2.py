@@ -216,9 +216,8 @@ class DecoderAttention(nn.Module):
                 mask = (kv_pos <= q_pos) & padding_mask[:, None, None, :]
             k_att, v_att = k, v
 
-        # GQA: repeat kv heads to match q heads.
-        k_att = jnp.repeat(k_att, group, axis=1)
-        v_att = jnp.repeat(v_att, group, axis=1)
+        # GQA: kv heads stay unrepeated — sdpa groups queries per kv head
+        # (grouped einsum / folded-row flash; no g-times KV materialization).
         out = sdpa(q, k_att, v_att, scale=hd**-0.5, mask=mask,
                    is_causal=mask is None, kv_lengths=kv_lengths)
         out = out.transpose(0, 2, 1, 3).reshape(b, L, H * hd)

@@ -61,15 +61,35 @@ def sdpa(
             and q.shape[-1] % int(_os.environ.get("HICOM_FLASH_MIN_LANE", "64")) == 0
         ):
             implementation = "flash"
+    grouped = q.ndim == 4 and k.ndim == 4 and q.shape[1] != k.shape[1]
     if implementation == "flash":
-        from .flash_attention import flash_attention
+        from .flash_attention import flash_attention, flash_attention_gqa
 
+        if grouped:
+            return flash_attention_gqa(
+                q, k, v,
+                scale=float(scale) if scale is not None else None,
+                logit_bias=float(logit_bias),
+                is_causal=is_causal, kv_lengths=kv_lengths,
+            )
         return flash_attention(
             q, k, v,
             scale=float(scale) if scale is not None else None,
             logit_bias=float(logit_bias),
             mask=mask, is_causal=is_causal, kv_lengths=kv_lengths,
         )
+
+    if grouped:
+        # einsum GQA without materializing repeated KV: (b, KVH, g, L, d)
+        b, H, L, d = q.shape
+        KVH = k.shape[1]
+        qg = q.reshape(b, KVH, H // KVH, L, d)
+        if mask is not None and mask.ndim == 4:
+            mask = mask[:, :, None]
+        out = sdpa(qg, k[:, :, None], v[:, :, None], scale=scale, logit_bias=logit_bias,
+                   mask=mask, is_causal=is_causal, kv_lengths=kv_lengths,
+                   implementation="einsum")
+        return out.reshape(b, H, L, d)
 
     d = q.shape[-1]
     if scale is None:

@@ -112,3 +112,83 @@ def test_flash_kv_lengths_matches_dense_mask():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, bb, name in zip(gf, gr, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_gqa_grouped_matches_repeated():
+    """Grouped attention (einsum + flash) == repeat-KV attention, fwd + bwd."""
+    import jax
+
+    from hicom_tpu.ops.flash_attention import flash_attention_gqa
+
+    rng = np.random.default_rng(10)
+    b, KVH, g, L, d = 2, 2, 3, 96, 32
+    H = KVH * g
+    q = jnp.asarray(rng.standard_normal((b, H, L, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, KVH, L, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, KVH, L, d)).astype(np.float32))
+    lens = jnp.asarray([70, 96], jnp.int32)
+    gvec = jnp.asarray(rng.standard_normal((b, H, L, d)).astype(np.float32))
+
+    k_rep = jnp.repeat(k, g, axis=1)
+    v_rep = jnp.repeat(v, g, axis=1)
+
+    # einsum grouped (sdpa auto-detects head mismatch)
+    out_g = sdpa(q, k, v, is_causal=True, kv_lengths=lens, implementation="einsum")
+    out_r = sdpa(q, k_rep, v_rep, is_causal=True, kv_lengths=lens, implementation="einsum")
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_r), rtol=2e-5, atol=2e-5)
+
+    # flash grouped (interpret): values + grads
+    out_f = flash_attention_gqa(q, k, v, is_causal=True, kv_lengths=lens,
+                                block_q=64, block_k=64, interpret=True)
+    valid = (jnp.arange(L)[None, :] < lens[:, None])[:, None, :, None]
+    np.testing.assert_allclose(np.asarray(jnp.where(valid, out_f, 0)),
+                               np.asarray(jnp.where(valid, out_r, 0)), rtol=2e-5, atol=2e-5)
+
+    def loss_f(q, k, v):
+        o = flash_attention_gqa(q, k, v, is_causal=True, kv_lengths=lens,
+                                block_q=64, block_k=64, interpret=True)
+        return jnp.sum(jnp.where(valid, o, 0.0) * gvec)
+
+    def loss_r(q, k, v):
+        o = sdpa(q, jnp.repeat(k, g, axis=1), jnp.repeat(v, g, axis=1),
+                 is_causal=True, kv_lengths=lens, implementation="einsum")
+        return jnp.sum(jnp.where(valid, o, 0.0) * gvec)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, bb, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=3e-4, atol=3e-4, err_msg=name)
+
+
+def test_gqa_fold_aligned_blocks():
+    """L a multiple of block_q: the fold-aware diagonal skip drops blocks but
+    the output still matches repeated-KV attention (fwd + bwd)."""
+    import jax
+
+    from hicom_tpu.ops.flash_attention import flash_attention_gqa
+
+    rng = np.random.default_rng(11)
+    b, KVH, g, L, d = 1, 2, 4, 256, 64  # block_q picker lands on 128|256
+    H = KVH * g
+    q = jnp.asarray(rng.standard_normal((b, H, L, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, KVH, L, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, KVH, L, d)).astype(np.float32))
+    lens = jnp.asarray([200], jnp.int32)
+    gvec = jnp.asarray(rng.standard_normal((b, H, L, d)).astype(np.float32))
+    valid = (jnp.arange(L)[None, :] < lens[:, None])[:, None, :, None]
+
+    def loss_f(q, k, v):
+        o = flash_attention_gqa(q, k, v, is_causal=True, kv_lengths=lens,
+                                block_q=128, block_k=128, interpret=True)
+        return jnp.sum(jnp.where(valid, o, 0.0) * gvec)
+
+    def loss_r(q, k, v):
+        o = sdpa(q, jnp.repeat(k, g, axis=1), jnp.repeat(v, g, axis=1),
+                 is_causal=True, kv_lengths=lens, implementation="einsum")
+        return jnp.sum(jnp.where(valid, o, 0.0) * gvec)
+
+    of, gf = jax.value_and_grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    orr, gr = jax.value_and_grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(of), float(orr), rtol=2e-5)
+    for a, bb, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=3e-4, atol=3e-4, err_msg=name)
