@@ -195,7 +195,7 @@ def main(argv=None):
     with mesh:
         state, shardings = create_sharded_state(
             model, optimizer, mesh,
-            {k: jnp.asarray(v) for k, v in init_batch.items() if not isinstance(v, str)},
+            {k: jnp.asarray(v) for k, v in init_batch.items() if not isinstance(v, (str, bool))},
             rng, modal=modal,
         )
 
@@ -240,17 +240,26 @@ def main(argv=None):
             lora = init_lora_params(base_params, rank=args.lora_r, rng=jax.random.PRNGKey(args.seed))
             lora_tx = _optax.adamw(make_schedule(args.learning_rate, total_steps, args.warmup_ratio,
                                                  args.lr_scheduler_type), weight_decay=args.weight_decay)
-            loss_fn = make_lora_loss_fn(make_loss_fn(model, modal), base_params,
-                                        alpha=args.lora_alpha, rank=args.lora_r)
+            lora_step_fns: dict = {}
 
-            def lora_step(carry, batch):
-                lora, opt_state, step_count = carry
-                (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(lora, batch)
-                updates, opt_state = lora_tx.update(grads, opt_state, lora)
-                return (_optax.apply_updates(lora, updates), opt_state, step_count + 1), metrics
+            def get_lora_step_fn(batch):
+                key = (batch.get("modal", modal), bool(batch.get("multi_image", False)),
+                       "frames" in batch)
+                if key not in lora_step_fns:
+                    loss_fn = make_lora_loss_fn(
+                        make_loss_fn(model, key[0], has_frames=key[2], multi_image=key[1]),
+                        base_params, alpha=args.lora_alpha, rank=args.lora_r)
+
+                    def lora_step(carry, batch, loss_fn=loss_fn):
+                        lora, opt_state, step_count = carry
+                        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(lora, batch)
+                        updates, opt_state = lora_tx.update(grads, opt_state, lora)
+                        return (_optax.apply_updates(lora, updates), opt_state, step_count + 1), metrics
+
+                    lora_step_fns[key] = jax.jit(lora_step, donate_argnums=0)
+                return lora_step_fns[key]
 
             lora_opt_state = lora_tx.init(lora)
-            lora_step_fn = jax.jit(lora_step, donate_argnums=0)
             carry = (lora, lora_opt_state, jnp.int32(0))
             t0 = time.time()
             step = 0
@@ -259,8 +268,9 @@ def main(argv=None):
                 for batch in iter_batches(dataset, collator, batch_size, seed=args.seed + step,
                                           group_by_modality=args.group_by_modality_length):
                     advanced = True
-                    jbatch = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, str)}
-                    carry, metrics = lora_step_fn(carry, shard_batch_tree(jbatch, mesh))
+                    jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                              if not isinstance(v, (str, bool))}
+                    carry, metrics = get_lora_step_fn(batch)(carry, shard_batch_tree(jbatch, mesh))
                     step += 1
                     if step % args.logging_steps == 0:
                         print(f"[lora] step {step}/{total_steps} loss {float(metrics['loss']):.4f}")
@@ -275,7 +285,19 @@ def main(argv=None):
             print(f"exported LoRA adapter to {args.output_dir}")
             return
 
-        step_fn = jax.jit(make_train_step(model, optimizer, modal=modal), donate_argnums=0)
+        # one compiled step per (modal, multi_image, has_frames) — mixed
+        # datasets flip these per batch (uniform-modality batching upstream)
+        step_fns: dict = {}
+
+        def get_step_fn(batch):
+            key = (batch.get("modal", modal), bool(batch.get("multi_image", False)),
+                   "frames" in batch)
+            if key not in step_fns:
+                step_fns[key] = jax.jit(
+                    make_train_step(model, optimizer, modal=key[0],
+                                    has_frames=key[2], multi_image=key[1]),
+                    donate_argnums=0)
+            return step_fns[key]
 
         t0 = time.time()
         step = int(state.step)
@@ -285,7 +307,9 @@ def main(argv=None):
             for batch in iter_batches(dataset, collator, batch_size, seed=args.seed + step,
                                       group_by_modality=args.group_by_modality_length):
                 made_progress = True
-                jbatch = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, str)}
+                step_fn = get_step_fn(batch)
+                jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                          if not isinstance(v, (str, bool))}
                 state, metrics = step_fn(state, shard_batch_tree(jbatch, mesh))
                 step += 1
                 losses.append(metrics["loss"])

@@ -226,8 +226,10 @@ class SupervisedDataset:
         frames = None
         modal_token = None
         guided_prompt = ""
+        num_images = 1
         if "image" in sample:
             files = sample["image"] if isinstance(sample["image"], list) else [sample["image"]]
+            num_images = len(files)
             if args.data_folder:
                 files = [os.path.join(args.data_folder, f) for f in files]
             try:
@@ -271,6 +273,10 @@ class SupervisedDataset:
             "frames": frames,
             "modal": "image" if modal_token == "<image>" else ("video" if modal_token == "<video>" else "text"),
             "guided_prompt": guided_prompt,
+            # K>1 ⇔ a list under "image": one crop per file, K sentinels in the
+            # text (reference emits one batch['images'] entry per file,
+            # train.py:525-530). Single-image anyres crops keep num_images=1.
+            "num_images": num_images,
         }
 
 
@@ -309,6 +315,8 @@ class Collator:
         # uniform-modality batches: stack frames (t must match across rows)
         frames = [x["frames"] for x in instances if x["frames"] is not None]
         if frames:
+            modal = next(x["modal"] for x in instances if x["modal"] != "text")
+            multi = modal == "image" and any(x.get("num_images", 1) > 1 for x in instances)
             t = max(f.shape[0] for f in frames)
             stacked = np.zeros((b, t) + frames[0].shape[1:], dtype=np.float32)
             for i, inst in enumerate(instances):
@@ -316,7 +324,12 @@ class Collator:
                 if f is not None:
                     stacked[i, : f.shape[0]] = f
             batch["frames"] = stacked
-            batch["modal"] = next(x["modal"] for x in instances if x["modal"] != "text")
+            batch["modal"] = modal
+            # multi-image rows: (b, K, 3, H, W) with one sentinel per image
+            # (reference emits one batch['images'] entry per file,
+            # train.py:525-530); rows with fewer images zero-pad to K and the
+            # K-sentinel splice drops the surplus embeds.
+            batch["multi_image"] = multi
         if self.guide_tokenizer is not None:
             enc = self.guide_tokenizer(
                 [x["guided_prompt"] for x in instances],

@@ -141,6 +141,77 @@ def test_dataset_and_collator(tmp_path):
     assert (batch["labels"][~batch["attention_mask"]] == IGNORE_INDEX).all()
 
 
+def test_multi_image_dataset_collator_train(tmp_path):
+    """A list under "image" with one <image> tag per turn → K single-image
+    crops, K sentinels, collator emits (b, K, 3, H, W) + multi_image flag, and
+    the train loss consumes the batch (reference train.py:420-439, 525-530)."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from hicom_tpu.config import tiny_test_config
+    from hicom_tpu.data.processor import SiglipImagePreprocessor
+    from hicom_tpu.models.hicom import HIComModel
+    from hicom_tpu.train.train_step import make_loss_fn
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(2):
+        Image.fromarray(np.random.default_rng(i).integers(0, 255, (30, 40, 3), dtype=np.uint8)).save(
+            img_dir / f"{i}.png"
+        )
+    rows = [
+        {"image": ["0.png", "1.png"], "conversations": [
+            {"from": "human", "value": "<image> first picture"},
+            {"from": "gpt", "value": "ok"},
+            {"from": "human", "value": "<image> compare with this"},
+            {"from": "gpt", "value": "they differ"},
+        ]},
+        {"image": "0.png", "conversations": [
+            {"from": "human", "value": "<image> describe"},
+            {"from": "gpt", "value": "a picture"},
+        ]},
+    ]
+    jpath = tmp_path / "data.json"
+    jpath.write_text(json.dumps(rows))
+
+    args = DataArguments(data_path=[str(jpath)], data_folder=str(img_dir), image_size=56, length_bucket=16)
+    ds = SupervisedDataset(FakeTokenizer(), args, SiglipImagePreprocessor(size=(56, 56)))
+
+    multi_item = ds[0]
+    assert multi_item["num_images"] == 2
+    assert multi_item["frames"].shape == (2, 3, 56, 56)
+    assert (multi_item["input_ids"] == IMAGE_TOKEN_INDEX).sum() == 2
+
+    coll = Collator(FakeTokenizer(), args)
+    batch = coll([ds[0], ds[1]])
+    assert batch["multi_image"] is True
+    assert batch["frames"].shape == (2, 2, 3, 56, 56)
+    # single-image-only batches keep the flag off
+    assert coll([ds[1], ds[1]])["multi_image"] is False
+
+    # the flagged batch drives the training loss end-to-end
+    cfg = tiny_test_config()
+    model = HIComModel(config=cfg)
+    ids = np.where(batch["input_ids"] >= 0, batch["input_ids"] % cfg.text_config.vocab_size,
+                   batch["input_ids"])
+    labels = np.where(batch["labels"] >= 0, batch["labels"] % cfg.text_config.vocab_size,
+                      batch["labels"])
+    jbatch = {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "attention_mask": jnp.asarray(batch["attention_mask"]),
+        "frames": jnp.asarray(batch["frames"]),
+    }
+    variables = HIComModel(config=cfg).init(
+        jax.random.PRNGKey(0), jbatch["input_ids"], jbatch["frames"], modal="image", multi_image=True
+    )
+    loss_fn = make_loss_fn(model, modal="image", multi_image=True)
+    loss, metrics = loss_fn(variables["params"], jbatch)
+    assert np.isfinite(float(loss))
+    assert int(metrics["target_tokens"]) > 0
+
+
 def test_modality_grouped_indices():
     lengths = [10, -5, 8, -7, 12, -3]  # 3 image, 3 text
     order = modality_length_grouped_indices(lengths, batch_size=2, world_size=1, seed=0)
