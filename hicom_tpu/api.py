@@ -85,6 +85,37 @@ class HICom:
         )
         return np.asarray(out)
 
+    def encode_long_video(self, frames: np.ndarray, guide_ids=None, guide_mask=None) -> np.ndarray:
+        """(t, 3, H, W) → (V, hidden) visual tokens with the t axis sharded
+        over every device (sequence-parallel SigLIP + compression; see
+        parallel/long_video.py). Lifts the reference's 32-frame ceiling."""
+        import jax
+        import jax.numpy as jnp
+
+        from .models.hicom import HIComModel
+        from .parallel.long_video import encode_visual_sharded
+        from .parallel.mesh import create_mesh
+
+        frames = jnp.asarray(frames, dtype=jnp.dtype(self.config.dtype))
+        ge = None
+        if self.config.guide_enabled() and guide_ids is not None:
+            ge = self.model.apply(
+                {"params": self.params}, jnp.asarray(guide_ids),
+                jnp.asarray(guide_mask) if guide_mask is not None else None,
+                method=HIComModel.encode_guide,
+            )[0]
+        key = ("long_video", frames.shape, ge is not None)
+        if key not in self._gen_cache:
+            mesh = create_mesh(dp=len(jax.devices()))
+
+            def run(p, f, g):
+                return encode_visual_sharded(self.model, p, f, mesh, guide_embeds=g, modal="video")
+
+            self._gen_cache[key] = (mesh, jax.jit(run))
+        mesh, fn = self._gen_cache[key]
+        with mesh:
+            return np.asarray(fn(self.params, frames, ge))
+
     def encode_anyres(self, crops: np.ndarray, image_size, guide_ids=None, guide_mask=None) -> np.ndarray:
         """(n, 3, H, W) anyres crops → (V, hidden) visual tokens."""
         import jax.numpy as jnp
@@ -429,6 +460,22 @@ def mm_infer(
             guide_mask = enc.get("attention_mask")
 
     visual_embeds = None
+    if modal == "video" and frames is not None and model.config.projector.kind == "hicom":
+        # sequence-parallel encode for long videos: shard t over the devices
+        # when it divides evenly (HICOM_SEQ_PARALLEL=0 off / 1 force / auto:
+        # only beyond the reference's 32-frame cap on a multi-chip mesh).
+        import jax as _jax
+
+        sp = os.environ.get("HICOM_SEQ_PARALLEL", "auto")
+        n_dev = len(_jax.devices())
+        t = frames.shape[1]
+        spec = model.config.projector
+        kt = spec.local.temporal_kernel_size if spec.local is not None else 1
+        eligible = n_dev > 1 and t % (n_dev * kt) == 0
+        if sp != "0" and eligible and (sp == "1" or t > 32):
+            visual_embeds = model.encode_long_video(frames[0], guide_ids, guide_mask)[None]
+            frames = None
+
     if (
         modal == "image"
         and frames is not None

@@ -155,6 +155,25 @@ class HIComModel(nn.Module):
             return post_process_visual_feature(cfg, proj, "image", nl, is_anyres=False)
         return self.mm_projector(feat, emb, guide_embeds, "image", nl)
 
+    def encode_visual_shard(
+        self,
+        frames: Array,  # (t_loc, 3, H, W) — one device's chunk of a long video
+        guide_embeds: Optional[Array],
+        modal: str,
+        t_offset: Array,
+        t_total: int,
+        kv_axis_name,
+    ):
+        """Sequence-parallel vision path body (see parallel/long_video.py):
+        tower + compressors on a t-chunk inside shard_map. Exceeds the
+        reference's 32-frame cap (constants.py:21) by sharding frames over the
+        mesh instead of truncating."""
+        assert self.config.projector.kind == "hicom"
+        features, image_embeds = self.vision_tower(frames)
+        return self.mm_projector.compress_shard(
+            features, image_embeds, guide_embeds, modal, t_offset, t_total, kv_axis_name
+        )
+
     def _mean_pool_project(self, features: Array, modal: str) -> Array:
         """Baseline mlp/linear path (reference hicom_arch.py:193-208): project,
         then for video trilinear-downsample 2×2 spatially, then flatten."""

@@ -83,6 +83,7 @@ class MultiheadAttention(nn.Module):
         logit_scale: Optional[Union[float, jnp.ndarray]] = None,
         logit_bias: Union[float, jnp.ndarray] = 0.0,
         mask: Optional[jnp.ndarray] = None,
+        kv_axis_name=None,
     ) -> jnp.ndarray:
         dense = lambda name: nn.Dense(  # noqa: E731
             self.embed_dim, name=name, dtype=self.dtype, kernel_init=trunc_normal_init
@@ -99,5 +100,6 @@ class MultiheadAttention(nn.Module):
             head_dim = self.embed_dim // self.num_heads
             scale = head_dim**-0.5
             bias = 0.0
-        out = multi_head_attention(q, k, v, self.num_heads, scale=scale, logit_bias=bias, mask=mask)
+        out = multi_head_attention(q, k, v, self.num_heads, scale=scale, logit_bias=bias,
+                                   mask=mask, kv_axis_name=kv_axis_name)
         return dense("out_proj")(out)

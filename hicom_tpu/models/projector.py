@@ -20,6 +20,7 @@ import math
 from typing import Any, Optional, Union
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..config import GlobalCompressorSpec, HIComConfig, LocalCompressorSpec
@@ -211,13 +212,25 @@ class GlobalCompressor(nn.Module):
         modal: str = "video",
         logit_scale: Optional[Array] = None,
         logit_bias: Union[float, Array] = 0.0,
+        t_offset: Optional[Array] = None,  # sharded: global index of frame 0
+        t_total: Optional[int] = None,  # sharded: global frame count (static)
+        kv_axis_name=None,  # sharded: mesh axis the t axis is split over
     ) -> Array:
         t, h, w, d = frames_feature.shape
         base_query = self.param("query", nn.initializers.zeros, (self.spec.num_queries, self.embed_dim), jnp.float32)
         base_query = base_query.astype(self.dtype)
 
         if self.spec.use_pos_emb:
-            pos = jnp.asarray(get_3d_sincos_pos_embed(t, h, w, self.embed_dim), dtype=frames_feature.dtype)
+            if t_total is not None:
+                # KV holds frames [t_offset, t_offset+t) of a t_total-frame
+                # video: slice the global 3D PE at the (traced) offset.
+                full = jnp.asarray(get_3d_sincos_pos_embed(t_total, h, w, self.embed_dim),
+                                   dtype=frames_feature.dtype)
+                start = jnp.asarray(t_offset if t_offset is not None else 0, jnp.int32)
+                pos = jax.lax.dynamic_slice_in_dim(full, start, t, axis=0)
+            else:
+                pos = jnp.asarray(get_3d_sincos_pos_embed(t, h, w, self.embed_dim),
+                                  dtype=frames_feature.dtype)
             frames_feature = frames_feature + pos
 
         query = base_query
@@ -229,7 +242,8 @@ class GlobalCompressor(nn.Module):
 
         kv = frames_feature.reshape(1, t * h * w, d)
         x = MultiheadAttention(self.embed_dim, max(1, self.embed_dim // 128), dtype=self.dtype, name="attn_layer")(
-            query[None], kv, kv, logit_scale=logit_scale, logit_bias=logit_bias
+            query[None], kv, kv, logit_scale=logit_scale, logit_bias=logit_bias,
+            kv_axis_name=kv_axis_name,
         )
         return TorchMLP(self.output_hidden_size, self.mlp_depth, dtype=self.dtype, name="readout")(query + x[0])
 
@@ -329,6 +343,49 @@ class HIComProjector(nn.Module):
         if global_x is None:
             return local_x
         return jnp.concatenate([local_x, global_x], axis=-2)
+
+    def compress_shard(
+        self,
+        frames_feature: Array,  # (t_loc, h, w, dv) — local chunk of the t axis
+        frames_embed: Optional[Array],
+        guide_embed: Optional[Array],
+        modal: str,
+        t_offset: Array,  # global index of this chunk's first frame
+        t_total: int,  # static global frame count
+        kv_axis_name,
+    ):
+        """Sequence-parallel compression of one t-chunk (shard_map body).
+
+        The local compressor is exactly shard-local when ``t_loc`` is a
+        multiple of its temporal kernel: integer-factor trilinear query
+        windows and T×S×S tiles never cross chunk boundaries. The global
+        compressor merges per-chunk softmax stats over ``kv_axis_name``
+        (every device returns identical global tokens).
+
+        Returns ``(local_raw, global_tokens)``: local output is the
+        pre-postprocess (t', h', w', D) grid — the caller gathers chunks and
+        applies ``post_process_visual_feature`` once on the full grid.
+        """
+        t_loc = frames_feature.shape[0]
+        local_raw = None
+        if self.local_compressor is not None:
+            kt = self.local_compressor.spec.temporal_kernel_size
+            assert modal == "video" and t_loc % kt == 0 and t_loc >= kt, (
+                f"sharded local compression needs video chunks divisible by the "
+                f"temporal kernel (t_loc={t_loc}, kernel={kt})"
+            )
+            ls = self.local_logit_scale if self.local_use_clip_scale else None
+            lb = self.local_logit_bias if self.local_use_clip_scale else 0.0
+            local_raw = self.local_compressor(frames_feature, frames_embed, guide_embed, modal, ls, lb)
+        global_tokens = None
+        if self.global_compressor is not None:
+            gs = self.global_logit_scale if self.global_use_clip_scale else None
+            gb = self.global_logit_bias if self.global_use_clip_scale else 0.0
+            global_tokens = self.global_compressor(
+                frames_feature, frames_embed, guide_embed, modal, gs, gb,
+                t_offset=t_offset, t_total=t_total, kv_axis_name=kv_axis_name,
+            )
+        return local_raw, global_tokens
 
 
 class MeanPoolProjector(nn.Module):

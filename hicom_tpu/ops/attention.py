@@ -30,6 +30,7 @@ def sdpa(
     is_causal: bool = False,
     kv_lengths: Optional[jnp.ndarray] = None,
     implementation: str = "auto",
+    kv_axis_name=None,
 ) -> jnp.ndarray:
     """Attention over the last two axes: q (..., Q, d), k/v (..., K, d).
 
@@ -38,8 +39,15 @@ def sdpa(
     * ``mask``: boolean (..., Q, K); True = attend.
     * ``kv_lengths``: (batch,) right-aligned valid kv lengths — the flash-
       compatible alternative to a dense padding mask.
+    * ``kv_axis_name``: mesh axis name(s) the KV sequence is sharded over
+      (shard_map bodies only). Per-shard softmax stats are merged exactly with
+      pmax/psum (online softmax across devices); ``mask``/``kv_lengths`` then
+      refer to the LOCAL kv chunk. q must be replicated along that axis.
     * fp32 softmax regardless of input dtype; output in q.dtype.
     """
+    if kv_axis_name is not None:
+        return _sdpa_kv_sharded(q, k, v, scale=scale, logit_bias=logit_bias,
+                                mask=mask, kv_lengths=kv_lengths, axis_name=kv_axis_name)
     if implementation == "auto":
         # Flash pays off when the logits tile is big and the mask is expressible
         # in-kernel (causal/padding only). Traced scales (SigLIP logit_scale)
@@ -112,6 +120,39 @@ def sdpa(
     return out.astype(q.dtype)
 
 
+def _sdpa_kv_sharded(q, k, v, *, scale, logit_bias, mask, kv_lengths, axis_name):
+    """Exact attention with the KV sequence sharded over a mesh axis.
+
+    Each device holds q (replicated) and a contiguous KV chunk; the softmax is
+    merged across devices with the usual online-softmax algebra:
+    ``m = pmax(m_i)``, ``out = psum(exp(m_i - m)·p_i·v_i) / psum(exp(m_i - m)·l_i)``.
+    One pmax + one psum ride the ICI; no KV all-gather ever materializes.
+    """
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+    logits = jnp.einsum("...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32)
+    logits = logits.astype(jnp.float32) * scale + logit_bias
+    neg = jnp.finfo(jnp.float32).min
+    if kv_lengths is not None:
+        klen = logits.shape[-1]
+        len_mask = jnp.arange(klen)[None, :] < kv_lengths[:, None]
+        len_mask = len_mask.reshape((kv_lengths.shape[0],) + (1,) * (logits.ndim - 2) + (klen,))
+        logits = jnp.where(len_mask, logits, neg)
+    if mask is not None:
+        logits = jnp.where(mask, logits, neg)
+    m_loc = jnp.max(logits, axis=-1, keepdims=True)
+    m = jax.lax.pmax(m_loc, axis_name)
+    p = jnp.exp(logits - m)
+    # mirror the unsharded path's probs.astype(v.dtype) @ v matmul dtype
+    num = jnp.einsum("...qk,...kd->...qd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    den = jnp.sum(p, axis=-1, keepdims=True)
+    num = jax.lax.psum(num, axis_name)
+    den = jax.lax.psum(den, axis_name)
+    return (num / jnp.maximum(den, 1e-30)).astype(q.dtype)
+
+
 def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     """(..., L, H*d) -> (..., H, L, d)"""
     *lead, L, D = x.shape
@@ -137,6 +178,7 @@ def multi_head_attention(
     mask: Optional[jnp.ndarray] = None,
     is_causal: bool = False,
     implementation: str = "auto",
+    kv_axis_name=None,
 ) -> jnp.ndarray:
     """MHA over already-projected q/k/v of shape (..., L, H*d).
 
@@ -147,6 +189,6 @@ def multi_head_attention(
         mask = mask[..., None, :, :]
     out = sdpa(
         qh, kh, vh, scale=scale, logit_bias=logit_bias, mask=mask,
-        is_causal=is_causal, implementation=implementation,
+        is_causal=is_causal, implementation=implementation, kv_axis_name=kv_axis_name,
     )
     return merge_heads(out)

@@ -230,3 +230,25 @@ def test_eval_runner_image_vqa_end_to_end(checkpoint, tmp_path):
         "--answer-file", str(afile),
         "--dtype", "float32", "--skip-existing",
     ])
+
+
+def test_mm_infer_long_video_sequence_parallel(checkpoint, monkeypatch):
+    """HICOM_SEQ_PARALLEL=1 routes video encode through the sharded path and
+    produces the same text as the single-pass path (8 virtual devices)."""
+    import jax
+
+    from hicom_tpu.api import mm_infer, model_init
+
+    assert len(jax.devices()) == 8
+    model, _, tokenizer = model_init(checkpoint, dtype="float32", cache_len=256)
+    rng = np.random.default_rng(1)
+    video = rng.standard_normal((32, 3, 56, 56)).astype(np.float32)  # 8 dev x 4, T=4
+    guide_ids = rng.integers(1, TXT["vocab_size"], (1, 16))
+
+    monkeypatch.setenv("HICOM_SEQ_PARALLEL", "0")
+    ref = mm_infer(video, "what is in the video ?", model, tokenizer,
+                   modal="video", guide_ids=guide_ids, max_new_tokens=6)
+    monkeypatch.setenv("HICOM_SEQ_PARALLEL", "1")
+    got = mm_infer(video, "what is in the video ?", model, tokenizer,
+                   modal="video", guide_ids=guide_ids, max_new_tokens=6)
+    assert got == ref

@@ -107,3 +107,70 @@ def test_tunable_matrix_and_lr_groups():
     assert lr_group("mm_projector/local_compressor/readout/0/kernel") == "projector"
     assert lr_group("vision_tower/encoder/layers_0/mlp/fc1/kernel") == "vision"
     assert lr_group("language_model/lm_head/kernel") == "base"
+
+
+def test_long_video_sharded_encode_parity():
+    """Sequence-parallel encode (t sharded over 8 devices) == single-pass
+    encode_visual, with and without guide injection."""
+    from hicom_tpu.parallel.long_video import encode_visual_sharded
+
+    mesh = create_mesh(dp=8)
+    t = 32  # 8 devices x t_loc=4, local kernel T=4 divides t_loc
+    for use_guide in (None, "direct"):
+        cfg = tiny_test_config(use_guide=use_guide) if use_guide else tiny_test_config()
+        model = HIComModel(config=cfg)
+        rng = np.random.default_rng(3)
+        img = cfg.vision_config.image_size
+        frames = jnp.asarray(rng.standard_normal((t, 3, img, img)).astype(np.float32))
+        gids = None
+        if use_guide:
+            gids = jnp.asarray(rng.integers(1, cfg.guide_text_config.vocab_size, (1, 8)))
+        ids = np.full((1, 4), 7)
+        ids[0, 1] = VIDEO_TOKEN_INDEX
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(ids), frames[None],
+                               guide_ids=gids, modal="video")
+        params = variables["params"]
+
+        guide_embeds = None
+        if use_guide:
+            guide_embeds = model.apply({"params": params}, gids, method=HIComModel.encode_guide)
+
+        ref = model.apply({"params": params}, frames[None], guide_embeds, "video",
+                          method=HIComModel.encode_visual)[0]
+
+        with mesh:
+            got = jax.jit(
+                lambda p, f, g: encode_visual_sharded(
+                    model, p, f, mesh, axis=("dp", "fsdp", "tp"), guide_embeds=g, modal="video"
+                )
+            )(params, frames, guide_embeds[0] if guide_embeds is not None else None)
+
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5,
+                                   err_msg=f"use_guide={use_guide}")
+
+
+def test_long_video_sharded_single_compressor_variants():
+    """local-only and global-only projectors through the sharded path."""
+    from hicom_tpu.parallel.long_video import encode_visual_sharded
+
+    mesh = create_mesh(dp=8)
+    t = 32
+    for ptype in ("local43", "global32"):
+        cfg = tiny_test_config(mm_projector_type=ptype)
+        model = HIComModel(config=cfg)
+        rng = np.random.default_rng(4)
+        img = cfg.vision_config.image_size
+        frames = jnp.asarray(rng.standard_normal((t, 3, img, img)).astype(np.float32))
+        ids = np.full((1, 4), 7)
+        ids[0, 1] = VIDEO_TOKEN_INDEX
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(ids), frames[None], modal="video")
+        params = variables["params"]
+        ref = model.apply({"params": params}, frames[None], None, "video",
+                          method=HIComModel.encode_visual)[0]
+        with mesh:
+            got = jax.jit(
+                lambda p, f, model=model: encode_visual_sharded(model, p, f, mesh, modal="video")
+            )(params, frames)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5,
+                                   err_msg=ptype)
