@@ -106,3 +106,22 @@ def shard_batch_tree(batch: Any, mesh: Mesh) -> Any:
     """Apply batch sharding to every array leaf (leading axis = batch)."""
     bs = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, bs), batch)
+
+
+def make_global_batch(local_batch: Any, mesh: Mesh) -> Any:
+    """Host-local batch slice → global sharded arrays.
+
+    Single-process: plain device_put (== shard_batch_tree). Multi-host: each
+    process contributes its 1/process_count slice of the global batch via
+    ``jax.make_array_from_process_local_data`` — no cross-host data exchange
+    (the hosts' slices land on their own devices; collectives only see
+    gradients). Replaces the reference's torch DistributedSampler + NCCL path.
+    """
+    if jax.process_count() == 1:
+        return shard_batch_tree(local_batch, mesh)
+    bs = batch_sharding(mesh)
+    import numpy as np
+
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(bs, np.asarray(x)), local_batch
+    )

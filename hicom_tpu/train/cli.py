@@ -81,6 +81,13 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
 
     import jax
+
+    if os.environ.get("HICOM_MULTIHOST") == "1":
+        # TPU pod slices: one process per host; jax.distributed picks the
+        # coordinator from the TPU environment (replaces torchrun env vars,
+        # reference directg_local43_global32.sh:4-19).
+        jax.distributed.initialize()
+
     import jax.numpy as jnp
     from transformers import AutoTokenizer
 
@@ -90,7 +97,7 @@ def main(argv=None):
     from ..data.processor import SiglipImagePreprocessor
     from ..models.hicom import HIComModel
     from ..parallel import create_mesh
-    from ..parallel.sharding import shard_batch_tree
+    from ..parallel.sharding import make_global_batch
     from .checkpoints import export_mm_projector_bin, restore_checkpoint, save_checkpoint
     from .dataset import Collator, DataArguments, SupervisedDataset, iter_batches
     from .optimizer import build_optimizer, trainable_param_count
@@ -149,6 +156,12 @@ def main(argv=None):
     )
     dataset = SupervisedDataset(tokenizer, dargs, image_processor)
     collator = Collator(tokenizer, dargs, guide_tokenizer)
+    n_proc, proc_idx = jax.process_count(), jax.process_index()
+    if n_proc > 1:
+        # every host must collate identical shapes (see Collator docstring)
+        collator.fixed_length = args.model_max_length
+        collator.fixed_frames = max(args.num_frames, 1)
+        collator.fixed_multi_image = dataset.has_multi_image
 
     # ---- mesh / optimizer / state ----
     mesh = create_mesh(dp=args.dp, fsdp=args.fsdp, tp=args.tp)
@@ -266,11 +279,11 @@ def main(argv=None):
             while step < total_steps:
                 advanced = False
                 for batch in iter_batches(dataset, collator, batch_size, seed=args.seed + step,
-                                          group_by_modality=args.group_by_modality_length):
+                                          group_by_modality=args.group_by_modality_length,
+                                          process_index=proc_idx, process_count=n_proc):
                     advanced = True
-                    jbatch = {k: jnp.asarray(v) for k, v in batch.items()
-                              if not isinstance(v, (str, bool))}
-                    carry, metrics = get_lora_step_fn(batch)(carry, shard_batch_tree(jbatch, mesh))
+                    jbatch = {k: v for k, v in batch.items() if not isinstance(v, (str, bool))}
+                    carry, metrics = get_lora_step_fn(batch)(carry, make_global_batch(jbatch, mesh))
                     step += 1
                     if step % args.logging_steps == 0:
                         print(f"[lora] step {step}/{total_steps} loss {float(metrics['loss']):.4f}")
@@ -305,24 +318,27 @@ def main(argv=None):
         while step < total_steps * args.gradient_accumulation_steps:
             made_progress = False
             for batch in iter_batches(dataset, collator, batch_size, seed=args.seed + step,
-                                      group_by_modality=args.group_by_modality_length):
+                                      group_by_modality=args.group_by_modality_length,
+                                      process_index=proc_idx, process_count=n_proc):
                 made_progress = True
                 step_fn = get_step_fn(batch)
-                jbatch = {k: jnp.asarray(v) for k, v in batch.items()
-                          if not isinstance(v, (str, bool))}
-                state, metrics = step_fn(state, shard_batch_tree(jbatch, mesh))
+                jbatch = {k: v for k, v in batch.items() if not isinstance(v, (str, bool))}
+                state, metrics = step_fn(state, make_global_batch(jbatch, mesh))
                 step += 1
                 losses.append(metrics["loss"])
                 if step % args.logging_steps == 0:
                     loss = float(jnp.mean(jnp.stack(losses)))
                     losses.clear()
                     rate = step / max(time.time() - t0, 1e-9)
-                    print(f"step {step}/{total_steps} loss {loss:.4f} ({rate:.2f} it/s)")
-                    with open(os.path.join(args.output_dir, "metrics.jsonl"), "a") as mf:
-                        mf.write(json.dumps({"step": step, "loss": loss, "it_per_s": rate,
-                                             "time": time.time()}) + "\n")
+                    if proc_idx == 0:
+                        print(f"step {step}/{total_steps} loss {loss:.4f} ({rate:.2f} it/s)")
+                        with open(os.path.join(args.output_dir, "metrics.jsonl"), "a") as mf:
+                            mf.write(json.dumps({"step": step, "loss": loss, "it_per_s": rate,
+                                                 "time": time.time()}) + "\n")
                 if step % args.save_steps == 0:
-                    save_checkpoint(args.output_dir, jax.device_get(state), step)
+                    # orbax handles sharded global arrays (all hosts participate)
+                    save_checkpoint(args.output_dir,
+                                    state if n_proc > 1 else jax.device_get(state), step)
                 if step >= total_steps * args.gradient_accumulation_steps:
                     break
             if not made_progress:
@@ -331,9 +347,21 @@ def main(argv=None):
                     "reduce batch size or devices"
                 )
 
-        save_checkpoint(args.output_dir, jax.device_get(state), step)
+        save_checkpoint(args.output_dir, state if n_proc > 1 else jax.device_get(state), step)
         tunable = set(args.mm_tunable_parts.split(","))
-        final_params = jax.device_get(state.params)
+        # exports gather to host 0 (params are modest: projector MBs, 7B LLM
+        # fits host RAM); multi-host gathers via allgather-to-replicated
+        if n_proc > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            rep = NamedSharding(mesh, _P())
+            final_params = jax.device_get(
+                jax.jit(lambda p: p, out_shardings=rep)(state.params)
+            )
+        else:
+            final_params = jax.device_get(state.params)
+        if proc_idx != 0:
+            return
         if tunable <= {"mm_projector", "attn_scale"}:
             # projector-only stages export the reference's mm_projector.bin
             export_mm_projector_bin(final_params, os.path.join(args.output_dir, "mm_projector.bin"))

@@ -213,6 +213,12 @@ class SupervisedDataset:
             out.append(n if "image" in sample else -n)
         return out
 
+    @property
+    def has_multi_image(self) -> bool:
+        """True if any sample carries a K>1 image list (multi-host mode pins
+        the collator's multi_image flag to this so all hosts agree)."""
+        return any(isinstance(r.get("image"), list) and len(r["image"]) > 1 for r in self.rows)
+
     def modality_of(self, idx: int) -> str:
         row = self.rows[idx]
         return "image" if "image" in row else ("video" if "video" in row else "text")
@@ -290,12 +296,21 @@ class Collator:
     tokenizer: Any
     data_args: DataArguments
     guide_tokenizer: Any = None
+    # Multi-host mode: shapes must not depend on the local batch slice (every
+    # host pads identically so jax.make_array_from_process_local_data can
+    # stitch slices into one global array). Also gives ONE compiled step shape
+    # for the whole run — the TPU-friendly default for big jobs.
+    fixed_length: Optional[int] = None
+    fixed_frames: Optional[int] = None
+    fixed_multi_image: Optional[bool] = None  # pin the flag across hosts
 
     def __call__(self, instances: Sequence[Dict]) -> Dict[str, np.ndarray]:
         pad_id = self.tokenizer.pad_token_id or 0
         bucket = self.data_args.length_bucket
         max_len = max(len(x["input_ids"]) for x in instances)
         max_len = min(math.ceil(max_len / bucket) * bucket, self.data_args.model_max_length)
+        if self.fixed_length is not None:
+            max_len = self.fixed_length
 
         b = len(instances)
         input_ids = np.full((b, max_len), pad_id, dtype=np.int64)
@@ -317,7 +332,14 @@ class Collator:
         if frames:
             modal = next(x["modal"] for x in instances if x["modal"] != "text")
             multi = modal == "image" and any(x.get("num_images", 1) > 1 for x in instances)
+            if self.fixed_multi_image is not None and modal == "image":
+                multi = self.fixed_multi_image
             t = max(f.shape[0] for f in frames)
+            if self.fixed_frames is not None:
+                assert t <= self.fixed_frames, (
+                    f"sample has {t} frames/crops > fixed_frames={self.fixed_frames}"
+                )
+                t = self.fixed_frames
             stacked = np.zeros((b, t) + frames[0].shape[1:], dtype=np.float32)
             for i, inst in enumerate(instances):
                 f = inst["frames"]
@@ -386,9 +408,23 @@ def modality_length_grouped_indices(lengths: List[int], batch_size: int, world_s
 
 
 def iter_batches(dataset: SupervisedDataset, collator: Collator, batch_size: int, seed: int = 0,
-                 group_by_modality: bool = True):
-    """Simple epoch iterator producing uniform-modality numpy batches."""
+                 group_by_modality: bool = True,
+                 process_index: int = 0, process_count: int = 1):
+    """Epoch iterator producing uniform-modality numpy batches.
+
+    Multi-host: every process walks the SAME deterministic global order (the
+    rng is seeded identically), but materializes only its contiguous
+    1/process_count slice of each global batch — per-host sharded loading
+    with no inter-host coordination (the reference instead relies on torch
+    DistributedSampler inside HF Trainer). Pad the collated slice into a
+    global array with ``parallel.sharding.make_global_batch``.
+    """
     n = len(dataset)
+    assert batch_size % process_count == 0, (
+        f"global batch {batch_size} not divisible by {process_count} hosts"
+    )
+    local_bs = batch_size // process_count
+    lo, hi = process_index * local_bs, (process_index + 1) * local_bs
     if group_by_modality:
         order = modality_length_grouped_indices(dataset.modality_lengths, batch_size, 1, seed)
     else:
@@ -398,9 +434,9 @@ def iter_batches(dataset: SupervisedDataset, collator: Collator, batch_size: int
     for idx in order:
         if batch and dataset.modality_of(idx) != dataset.modality_of(batch[0]):
             if len(batch) == batch_size:
-                yield collator([dataset[i] for i in batch])
+                yield collator([dataset[i] for i in batch[lo:hi]])
             batch = []
         batch.append(idx)
         if len(batch) == batch_size:
-            yield collator([dataset[i] for i in batch])
+            yield collator([dataset[i] for i in batch[lo:hi]])
             batch = []

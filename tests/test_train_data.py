@@ -312,3 +312,49 @@ def test_hf_checkpoint_export_roundtrip(tmp_path):
         {"params": runtime.params}, jnp.asarray(ids), frames, guide_ids=gids, modal="video"
     )
     np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4)
+
+
+def test_multihost_batch_slicing(tmp_path):
+    """Two simulated hosts walking the same seed yield complementary slices of
+    each global batch with host-independent shapes (multi-host data loading)."""
+    from PIL import Image
+
+    from hicom_tpu.data.processor import SiglipImagePreprocessor
+    from hicom_tpu.train.dataset import iter_batches
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(8):
+        Image.fromarray(np.random.default_rng(i).integers(0, 255, (20, 20, 3), dtype=np.uint8)).save(
+            img_dir / f"{i}.png"
+        )
+    rows = [
+        {"image": f"{i}.png", "conversations": [
+            {"from": "human", "value": f"<image>\nquestion {i} " + "pad " * (i % 3)},
+            {"from": "gpt", "value": f"answer {i}"},
+        ]}
+        for i in range(8)
+    ]
+    jpath = tmp_path / "data.json"
+    jpath.write_text(json.dumps(rows))
+    args = DataArguments(data_path=[str(jpath)], data_folder=str(img_dir),
+                         image_size=28, length_bucket=8, model_max_length=64)
+    proc = SiglipImagePreprocessor(size=(28, 28))
+    ds = SupervisedDataset(FakeTokenizer(), args, proc)
+
+    def collect(pi, pc):
+        coll = Collator(FakeTokenizer(), args, fixed_length=32, fixed_frames=1)
+        return list(iter_batches(ds, coll, batch_size=4, seed=1,
+                                 process_index=pi, process_count=pc))
+
+    full = collect(0, 1)
+    h0 = collect(0, 2)
+    h1 = collect(1, 2)
+    assert len(full) == len(h0) == len(h1) == 2
+    for bf, b0, b1 in zip(full, h0, h1):
+        assert b0["input_ids"].shape == b1["input_ids"].shape == (2, 32)
+        assert b0["frames"].shape == b1["frames"].shape
+        np.testing.assert_array_equal(np.concatenate([b0["input_ids"], b1["input_ids"]]),
+                                      bf["input_ids"])
+        np.testing.assert_array_equal(np.concatenate([b0["frames"], b1["frames"]]),
+                                      bf["frames"])
