@@ -191,6 +191,7 @@ def load_model(
     device: Optional[str] = None,
     load_8bit: bool = False,
     scan_layers: bool = False,
+    kv_cache_int8: bool = False,
 ) -> "HICom":
     """Load a checkpoint directory into a device-resident HICom runtime."""
     import jax
@@ -210,13 +211,14 @@ def load_model(
     qk_override = getattr(vision_cfg, "projection_dim", None)
     cfg = cfg.replace(vision_config=vision_cfg, guide_text_config=guide_cfg, dtype=dtype,
                       projector_qk_dim=qk_override)
-    if load_8bit or scan_layers:
+    if load_8bit or scan_layers or kv_cache_int8:
         import dataclasses as _dc
 
         cfg = cfg.replace(text_config=_dc.replace(
             cfg.text_config,
             quantization="int8" if load_8bit else None,
             scan_layers=scan_layers,
+            kv_cache_int8=kv_cache_int8,
         ))
 
     spec = cfg.projector

@@ -94,6 +94,9 @@ class Qwen2Config:
     # copies (cuts compile time massively on remote-compile TPUs). Params are
     # stacked on a leading layer axis (see weights.stack_decoder_layers).
     scan_layers: bool = False
+    # int8 KV cache: k/v stored as int8 + per-slot absmax scales; dequant fuses
+    # into the attention read (4x less decode HBM traffic vs fp32, 2x vs bf16).
+    kv_cache_int8: bool = False
 
 
 @dataclass(frozen=True)
@@ -117,6 +120,7 @@ class LlamaConfig:
     bos_token_id: int = 1
     quantization: Optional[str] = None
     scan_layers: bool = False
+    kv_cache_int8: bool = False
 
 
 # --------------------------------------------------------------------------- #

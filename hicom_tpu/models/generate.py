@@ -76,7 +76,8 @@ def generate_tokens(
         tc = cfg.text_config
         dtype = jnp.dtype(cfg.dtype)
         cache = KVCache.zeros(
-            tc.num_hidden_layers, b, tc.num_key_value_heads, cache_len, tc.head_dim, dtype
+            tc.num_hidden_layers, b, tc.num_key_value_heads, cache_len, tc.head_dim, dtype,
+            quantized=getattr(tc, "kv_cache_int8", False),
         )
         # b=1 unpadded prompts splice to an all-valid mask; passing None lets
         # the causal flash kernel run the prefill.

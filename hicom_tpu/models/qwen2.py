@@ -31,22 +31,51 @@ class KVCache(NamedTuple):
     ``valid`` is a (b, max_len) bitmap marking real (non-padding) cache slots so
     right-padded prefill batches decode correctly; ``length`` is the shared
     contiguous write offset.
+
+    int8 mode (``zeros(..., quantized=True)``): k/v hold int8 codes and
+    ``k_scale``/``v_scale`` hold per-slot absmax scales (num_layers, b,
+    kv_heads, max_len); dequantization fuses into the attention read so long
+    decodes stream 4x less HBM than fp32 caches (2x vs bf16).
     """
 
     k: Array
     v: Array
     length: Array  # (b,) int32 — write offset (same for all rows)
     valid: Array  # (b, max_len) bool
+    k_scale: Optional[Array] = None
+    v_scale: Optional[Array] = None
 
     @classmethod
-    def zeros(cls, num_layers, batch, kv_heads, max_len, head_dim, dtype):
+    def zeros(cls, num_layers, batch, kv_heads, max_len, head_dim, dtype, quantized: bool = False):
         shape = (num_layers, batch, kv_heads, max_len, head_dim)
+        if quantized:
+            sshape = shape[:-1]
+            return cls(
+                jnp.zeros(shape, jnp.int8),
+                jnp.zeros(shape, jnp.int8),
+                jnp.zeros((batch,), jnp.int32),
+                jnp.zeros((batch, max_len), dtype=bool),
+                jnp.ones(sshape, jnp.float32),
+                jnp.ones(sshape, jnp.float32),
+            )
         return cls(
             jnp.zeros(shape, dtype),
             jnp.zeros(shape, dtype),
             jnp.zeros((batch,), jnp.int32),
             jnp.zeros((batch, max_len), dtype=bool),
         )
+
+
+def quantize_kv(x: Array) -> Tuple[Array, Array]:
+    """(..., d) → int8 codes + per-slot absmax scale (...,)."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_kv(q: Array, scale: Array, dtype) -> Array:
+    return q.astype(dtype) * scale[..., None].astype(dtype)
 
 
 class QuantDense(nn.Module):
@@ -150,6 +179,7 @@ class DecoderAttention(nn.Module):
         padding_mask: Optional[Array] = None,  # (b, L) bool; True = real token
         prefill_from_empty: bool = False,  # static: cache known empty → attend current tokens only
         padding_right_aligned: bool = True,  # static: padding_mask is a per-row suffix
+        cache_scales: Optional[Tuple[Array, Array]] = None,  # int8 cache: (b, KVH, S) each
     ):
         b, L, _ = x.shape
         H, KVH, hd = self.num_heads, self.num_kv_heads, self.head_dim
@@ -166,14 +196,24 @@ class DecoderAttention(nn.Module):
 
         group = H // KVH
         new_cache_kv = None
+        new_cache_scales = None
         if cache_kv is not None:
             ck, cv = cache_kv
             S = ck.shape[2]
             # contiguous fill: all samples share the write offset (= length[0]);
             # per-sample validity is handled by the mask below.
             offset = cache_length[0]
-            ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, offset, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, offset, 0))
+            if cache_scales is not None:
+                kq, ks = quantize_kv(k)
+                vq, vs = quantize_kv(v)
+                ck = jax.lax.dynamic_update_slice(ck, kq, (0, 0, offset, 0))
+                cv = jax.lax.dynamic_update_slice(cv, vq, (0, 0, offset, 0))
+                cks = jax.lax.dynamic_update_slice(cache_scales[0], ks, (0, 0, offset))
+                cvs = jax.lax.dynamic_update_slice(cache_scales[1], vs, (0, 0, offset))
+                new_cache_scales = (cks, cvs)
+            else:
+                ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, offset, 0))
+                cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, offset, 0))
             new_cache_kv = (ck, cv)
             if prefill_from_empty:
                 # cache known empty: attend within the L new tokens only —
@@ -198,7 +238,12 @@ class DecoderAttention(nn.Module):
                 q_slot = (offset + jnp.arange(L))[None, None, :, None]  # (1, 1, L, 1)
                 mask = kv_slot <= q_slot
                 mask = mask & cache_valid[:, None, None, :]
-                k_att, v_att = ck, cv
+                if new_cache_scales is not None:
+                    # dequant fuses into the attention read (int8 stream + mul)
+                    k_att = dequantize_kv(ck, new_cache_scales[0], self.dtype)
+                    v_att = dequantize_kv(cv, new_cache_scales[1], self.dtype)
+                else:
+                    k_att, v_att = ck, cv
         else:
             kv_lengths = None
             if padding_mask is None:
@@ -222,7 +267,7 @@ class DecoderAttention(nn.Module):
                    is_causal=mask is None, kv_lengths=kv_lengths)
         out = out.transpose(0, 2, 1, 3).reshape(b, L, H * hd)
         out = make_dense(self.quantized, self.hidden_size, False, self.dtype, "o_proj")(out)
-        return out, new_cache_kv
+        return out, new_cache_kv, new_cache_scales
 
 
 class DecoderMLP(nn.Module):
@@ -244,20 +289,21 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, cache_kv=None, cache_length=None, cache_valid=None,
-                 padding_mask=None, prefill_from_empty=False, padding_right_aligned=True):
+                 padding_mask=None, prefill_from_empty=False, padding_right_aligned=True,
+                 cache_scales=None):
         cfg = self.config
         h = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="input_layernorm")(x)
         quantized = getattr(cfg, "quantization", None) == "int8"
-        attn_out, new_cache_kv = DecoderAttention(
+        attn_out, new_cache_kv, new_cache_scales = DecoderAttention(
             cfg.hidden_size, cfg.num_attention_heads, cfg.num_key_value_heads,
             cfg.head_dim, cfg.rope_theta, cfg.attention_bias, quantized,
             dtype=self.dtype, name="self_attn",
         )(h, positions, cache_kv, cache_length, cache_valid, padding_mask, prefill_from_empty,
-          padding_right_aligned)
+          padding_right_aligned, cache_scales)
         x = x + attn_out
         h = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="post_attention_layernorm")(x)
         x = x + DecoderMLP(cfg.hidden_size, cfg.intermediate_size, quantized, dtype=self.dtype, name="mlp")(h)
-        return x, new_cache_kv
+        return x, new_cache_kv, new_cache_scales
 
 
 class DecoderLayerScanned(nn.Module):
@@ -272,14 +318,17 @@ class DecoderLayerScanned(nn.Module):
     @nn.compact
     def __call__(self, x, kv, positions, cache_length, cache_valid, padding_mask):
         layer = DecoderLayer(self.config, dtype=self.dtype, name="layer")
-        cache_kv = kv if self.use_cache else None
-        x, new_kv = layer(
+        cache_kv = kv[:2] if self.use_cache else None
+        cache_scales = kv[2:] if (self.use_cache and len(kv) == 4) else None
+        x, new_kv, new_scales = layer(
             x, positions, cache_kv, cache_length, cache_valid, padding_mask,
-            self.prefill_from_empty, self.padding_right_aligned,
+            self.prefill_from_empty, self.padding_right_aligned, cache_scales,
         )
         if not self.use_cache:
-            new_kv = (jnp.zeros((), x.dtype), jnp.zeros((), x.dtype))
-        return x, new_kv
+            out = (jnp.zeros((), x.dtype), jnp.zeros((), x.dtype))
+        else:
+            out = new_kv + (new_scales if new_scales is not None else ())
+        return x, out
 
 
 class Qwen2Model(nn.Module):
@@ -321,19 +370,25 @@ class Qwen2Model(nn.Module):
             step_valid = padding_mask.astype(bool) if padding_mask is not None else jnp.ones((b, L), bool)
             cache_valid = jax.lax.dynamic_update_slice(cache.valid, step_valid, (0, cache.length[0]))
 
+        quant_cache = cache is not None and cache.k_scale is not None
         if getattr(self.config, "scan_layers", False):
             use_cache = cache is not None
             scanned = nn.scan(
                 DecoderLayerScanned,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
-                in_axes=(((0, 0) if use_cache else (nn.broadcast, nn.broadcast)),
+                in_axes=((0 if use_cache else nn.broadcast),
                          nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
                 out_axes=0,
                 length=self.config.num_hidden_layers,
             )(self.config, prefill_from_empty, padding_right_aligned, use_cache,
               dtype=self.dtype, name="layers")
-            kv_in = (cache.k, cache.v) if use_cache else (None, None)
+            if not use_cache:
+                kv_in = (None, None)
+            elif quant_cache:
+                kv_in = (cache.k, cache.v, cache.k_scale, cache.v_scale)
+            else:
+                kv_in = (cache.k, cache.v)
             x, new_kv = scanned(
                 x, kv_in, positions,
                 cache.length if use_cache else None,
@@ -341,25 +396,34 @@ class Qwen2Model(nn.Module):
             )
             x = self.norm(x)
             if use_cache:
-                return x, KVCache(new_kv[0], new_kv[1], cache.length + L, cache_valid)
+                scales = (new_kv[2], new_kv[3]) if quant_cache else (None, None)
+                return x, KVCache(new_kv[0], new_kv[1], cache.length + L, cache_valid,
+                                  scales[0], scales[1])
             return x, None
 
-        new_k, new_v = [], []
+        new_k, new_v, new_ks, new_vs = [], [], [], []
         for i, layer in enumerate(self.layers):
             cache_kv = (cache.k[i], cache.v[i]) if cache is not None else None
-            x, new_cache_kv = layer(
+            scales = (cache.k_scale[i], cache.v_scale[i]) if quant_cache else None
+            x, new_cache_kv, new_scales = layer(
                 x, positions, cache_kv,
                 cache.length if cache is not None else None,
                 cache_valid, padding_mask, prefill_from_empty, padding_right_aligned,
+                scales,
             )
             if new_cache_kv is not None:
                 new_k.append(new_cache_kv[0])
                 new_v.append(new_cache_kv[1])
+            if new_scales is not None:
+                new_ks.append(new_scales[0])
+                new_vs.append(new_scales[1])
         x = self.norm(x)
         new_cache = None
         if cache is not None:
             new_cache = KVCache(
-                jnp.stack(new_k), jnp.stack(new_v), cache.length + L, cache_valid
+                jnp.stack(new_k), jnp.stack(new_v), cache.length + L, cache_valid,
+                jnp.stack(new_ks) if new_ks else None,
+                jnp.stack(new_vs) if new_vs else None,
             )
         return x, new_cache
 

@@ -252,3 +252,22 @@ def test_mm_infer_long_video_sequence_parallel(checkpoint, monkeypatch):
     got = mm_infer(video, "what is in the video ?", model, tokenizer,
                    modal="video", guide_ids=guide_ids, max_new_tokens=6)
     assert got == ref
+
+
+def test_mm_infer_int8_kv_cache(checkpoint):
+    """kv_cache_int8=True flows through model_init → generate and matches the
+    fp32-cache output on the tiny model."""
+    from hicom_tpu.api import mm_infer, model_init
+
+    rng = np.random.default_rng(2)
+    video = rng.standard_normal((4, 3, 56, 56)).astype(np.float32)
+    guide_ids = rng.integers(1, TXT["vocab_size"], (1, 16))
+
+    model, _, tokenizer = model_init(checkpoint, dtype="float32", cache_len=256)
+    ref = mm_infer(video, "what color ?", model, tokenizer, modal="video",
+                   guide_ids=guide_ids, max_new_tokens=6)
+    model_q, _, tokenizer = model_init(checkpoint, dtype="float32", cache_len=256,
+                                       kv_cache_int8=True)
+    got = mm_infer(video, "what color ?", model_q, tokenizer, modal="video",
+                   guide_ids=guide_ids, max_new_tokens=6)
+    assert got == ref

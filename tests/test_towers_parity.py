@@ -123,6 +123,51 @@ def test_qwen2_kv_cache_decode_matches_full_forward():
     assert int(cache.length[0]) == 9
 
 
+def test_qwen2_int8_kv_cache_decode():
+    """int8 KV cache (per-slot absmax): decode tracks the fp32-cache logits
+    closely and greedy argmax is unchanged on the tiny model."""
+    _, model, params, cfg = _build_qwen_pair()
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, 128, (1, 9))
+    bound = model.bind({"params": params})
+    embeds = bound.embed(jnp.asarray(ids))
+
+    def run(quantized):
+        cache = KVCache.zeros(cfg.num_hidden_layers, 1, cfg.num_key_value_heads, 16,
+                              cfg.head_dim, jnp.float32, quantized=quantized)
+        logits, cache = model.apply({"params": params}, embeds[:, :6], jnp.arange(6)[None], cache)
+        outs = [logits[:, -1]]
+        for t in range(6, 9):
+            step, cache = model.apply({"params": params}, embeds[:, t:t + 1], jnp.array([[t]]), cache)
+            outs.append(step[:, 0])
+        assert (cache.k_scale is not None) == quantized
+        return jnp.stack(outs, axis=1)
+
+    ref = run(False)
+    got = run(True)
+    np.testing.assert_array_equal(np.asarray(jnp.argmax(got, -1)), np.asarray(jnp.argmax(ref, -1)))
+    err = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+    assert err < 0.05, f"int8 cache rel err {err}"
+
+    # scanned layers with int8 cache track the unrolled int8 run exactly
+    import dataclasses
+
+    from hicom_tpu.weights import stack_decoder_layers
+
+    scan_model = Qwen2ForCausalLM(config=dataclasses.replace(cfg, scan_layers=True))
+    scan_params = stack_decoder_layers(params)
+    cache = KVCache.zeros(cfg.num_hidden_layers, 1, cfg.num_key_value_heads, 16,
+                          cfg.head_dim, jnp.float32, quantized=True)
+    lp, cache = scan_model.apply({"params": scan_params}, embeds[:, :6], jnp.arange(6)[None], cache)
+    outs = [lp[:, -1]]
+    for t in range(6, 9):
+        step, cache = scan_model.apply({"params": scan_params}, embeds[:, t:t + 1],
+                                       jnp.array([[t]]), cache)
+        outs.append(step[:, 0])
+    np.testing.assert_allclose(np.asarray(jnp.stack(outs, axis=1)), np.asarray(got),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_qwen2_padding_mask():
     """Right-padded batch rows must produce the same logits as unpadded rows."""
     _, model, params, cfg = _build_qwen_pair()
