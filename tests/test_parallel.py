@@ -174,3 +174,32 @@ def test_long_video_sharded_single_compressor_variants():
             )(params, frames)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5,
                                    err_msg=ptype)
+
+
+def test_ring_attention_matches_sdpa():
+    """Ring attention over an 8-device ring == single-device sdpa: causal,
+    GQA heads, global kv_lengths."""
+    from hicom_tpu.ops.attention import sdpa
+    from hicom_tpu.parallel.ring import ring_self_attention
+
+    mesh = create_mesh(dp=8)
+    rng = np.random.default_rng(7)
+    b, H, KVH, L, d = 2, 4, 2, 128, 16  # L sharded 8 x 16
+    q = jnp.asarray(rng.standard_normal((b, H, L, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, KVH, L, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, KVH, L, d)).astype(np.float32))
+    lens = jnp.asarray([100, 128], jnp.int32)
+
+    for causal, use_lens in ((True, True), (True, False), (False, True)):
+        kw = dict(is_causal=causal)
+        if use_lens:
+            kw["kv_lengths"] = lens
+        ref = sdpa(q, k, v, implementation="einsum", **kw)
+        with mesh:
+            got = jax.jit(
+                lambda q, k, v, kw=kw: ring_self_attention(q, k, v, mesh, axis="dp", **kw)
+            )(q, k, v)
+        # rows whose kv length is 0 under the mask are undefined in both; all
+        # rows here have >=1 valid key (causal row 0 sees key 0; lens >= 100)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5,
+                                   err_msg=f"causal={causal} lens={use_lens}")
