@@ -175,16 +175,28 @@ class LocalCompressor(nn.Module):
                 self.mlp_depth, dtype=self.dtype, name="guide_injector",
             )(q, guide_embed)
 
-        rk = tile_thw(key, (kt, ks, ks))  # (G, K, qk)
-        rv = tile_thw(value, (kt, ks, ks))  # (G, K, dv)
-        rq = q.reshape(-1, 1, q.shape[-1])  # (G, 1, qk)
+        import os as _os
 
-        if logit_scale is not None:
-            out = sdpa(rq, rk, rv, scale=jnp.exp(logit_scale), logit_bias=logit_bias)
+        fused = _os.environ.get("HICOM_FUSED_LOCAL", "0")
+        divisible = t % kt == 0 and h % ks == 0 and w % ks == 0
+        use_fused = divisible and (
+            (fused == "1" and jax.default_backend() == "tpu") or fused == "interpret"
+        )
+        att_scale = jnp.exp(logit_scale) if logit_scale is not None else 1.0 / math.sqrt(self.qk_dim)
+        if use_fused:
+            # one-pass Pallas kernel: tiles sliced in VMEM, no retile HBM copy
+            from ..ops.local_attn import fused_tile_attention
+
+            out = fused_tile_attention(
+                q, key, value, (kt, ks, ks), att_scale, logit_bias,
+                interpret=fused == "interpret",
+            )
         else:
-            out = sdpa(rq, rk, rv, scale=1.0 / math.sqrt(self.qk_dim))
-
-        out = out.reshape(*down, value.shape[-1])
+            rk = tile_thw(key, (kt, ks, ks))  # (G, K, qk)
+            rv = tile_thw(value, (kt, ks, ks))  # (G, K, dv)
+            rq = q.reshape(-1, 1, q.shape[-1])  # (G, 1, qk)
+            out = sdpa(rq, rk, rv, scale=att_scale, logit_bias=logit_bias)
+            out = out.reshape(*down, value.shape[-1])
         return TorchMLP(self.output_hidden_size, self.mlp_depth, dtype=self.dtype, name="readout")(out)
 
 

@@ -192,3 +192,51 @@ def test_gqa_fold_aligned_blocks():
     np.testing.assert_allclose(float(of), float(orr), rtol=2e-5)
     for a, bb, name in zip(gf, gr, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=3e-4, atol=3e-4, err_msg=name)
+
+
+def test_fused_tile_attention_matches_xla_path():
+    """Fused local-compression kernel == tile_thw + sdpa (fp32 softmax),
+    including the SigLIP clip-scale variant."""
+    import math
+
+    from hicom_tpu.ops.grouping import tile_thw
+    from hicom_tpu.ops.local_attn import fused_tile_attention
+
+    rng = np.random.default_rng(20)
+    t, h, w, qk, dv = 8, 9, 9, 64, 48
+    kt, kh, kw = 4, 3, 3
+    key = jnp.asarray(rng.standard_normal((t, h, w, qk)).astype(np.float32))
+    val = jnp.asarray(rng.standard_normal((t, h, w, dv)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((t // kt, h // kh, w // kw, qk)).astype(np.float32))
+
+    for scale, bias in ((1.0 / math.sqrt(qk), 0.0), (jnp.float32(1.7), jnp.float32(-0.3))):
+        rk = tile_thw(key, (kt, kh, kw))
+        rv = tile_thw(val, (kt, kh, kw))
+        ref = sdpa(q.reshape(-1, 1, qk), rk, rv, scale=scale, logit_bias=bias,
+                   implementation="einsum").reshape(t // kt, h // kh, w // kw, dv)
+        got = fused_tile_attention(q, key, val, (kt, kh, kw), scale, bias, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_local_compressor_fused_env_matches_default(monkeypatch):
+    """HICOM_FUSED_LOCAL=interpret routes LocalCompressor through the fused
+    kernel with identical outputs."""
+    import jax
+
+    from hicom_tpu.config import tiny_test_config
+    from hicom_tpu.models.projector import HIComProjector
+
+    cfg = tiny_test_config()  # vision 56/14 → 4x4 grid, local43 (h=4 NOT /3 → xla)
+    # use a grid that divides: mimic so400m-like h=w=9 by calling the projector
+    # on synthetic features with t=8, h=w=9? grid is h=w from the tower; the
+    # projector itself only sees (t, h, w, d) — feed a divisible volume.
+    model = HIComProjector(config=cfg)
+    rng = np.random.default_rng(21)
+    ff = jnp.asarray(rng.standard_normal((8, 9, 9, cfg.mm_hidden_size)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), ff, None, None, "video")
+
+    monkeypatch.delenv("HICOM_FUSED_LOCAL", raising=False)
+    ref = model.apply(variables, ff, None, None, "video")
+    monkeypatch.setenv("HICOM_FUSED_LOCAL", "interpret")
+    got = model.apply(variables, ff, None, None, "video")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
