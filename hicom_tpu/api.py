@@ -190,6 +190,7 @@ def load_model(
     cache_len: int = 4096,
     device: Optional[str] = None,
     load_8bit: bool = False,
+    load_4bit: bool = False,
     scan_layers: bool = False,
     kv_cache_int8: bool = False,
 ) -> "HICom":
@@ -211,12 +212,13 @@ def load_model(
     qk_override = getattr(vision_cfg, "projection_dim", None)
     cfg = cfg.replace(vision_config=vision_cfg, guide_text_config=guide_cfg, dtype=dtype,
                       projector_qk_dim=qk_override)
-    if load_8bit or scan_layers or kv_cache_int8:
+    if load_8bit or load_4bit or scan_layers or kv_cache_int8:
         import dataclasses as _dc
 
+        assert not (load_8bit and load_4bit)
         cfg = cfg.replace(text_config=_dc.replace(
             cfg.text_config,
-            quantization="int8" if load_8bit else None,
+            quantization="nf4" if load_4bit else ("int8" if load_8bit else None),
             scan_layers=scan_layers,
             kv_cache_int8=kv_cache_int8,
         ))
@@ -257,10 +259,11 @@ def load_model(
 
     is_clip = "clip" in cfg.mm_vision_tower and "siglip" not in cfg.mm_vision_tower
     params["language_model"] = W.convert_decoder(llm_sd, cfg.text_config.tie_word_embeddings)
-    if load_8bit:
+    if load_8bit or load_4bit:
         from .models.qwen2 import quantize_decoder_params
 
-        params["language_model"] = quantize_decoder_params(params["language_model"])
+        params["language_model"] = quantize_decoder_params(
+            params["language_model"], mode="nf4" if load_4bit else "int8")
     if scan_layers:
         params["language_model"] = W.stack_decoder_layers(params["language_model"])
     params["vision_tower"] = W.convert_clip_vision(tower_sd) if is_clip else W.convert_siglip_vision(tower_sd)

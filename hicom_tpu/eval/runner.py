@@ -30,6 +30,10 @@ def build_parser():
     p.add_argument("--num-chunks", type=int, default=1)
     p.add_argument("--chunk-idx", type=int, default=0)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--load-8bit", action="store_true")
+    p.add_argument("--load-4bit", action="store_true")
+    p.add_argument("--kv-cache-int8", action="store_true")
+    p.add_argument("--scan-layers", action="store_true")
     p.add_argument("--max-new-tokens", type=int, default=1024)
     p.add_argument("--batch-size", type=int, default=1,
                    help="videos per compiled generate step (MCQA benchmarks)")
@@ -45,7 +49,10 @@ def main(argv=None):
     if args.skip_existing and os.path.exists(args.answer_file) and os.path.getsize(args.answer_file) > 0:
         print(f"answer file exists, skipping: {args.answer_file}", file=sys.stderr)
         return
-    model, processor, tokenizer = model_init(args.model_path, model_base=args.model_base, dtype=args.dtype)
+    model, processor, tokenizer = model_init(
+        args.model_path, model_base=args.model_base, dtype=args.dtype,
+        load_8bit=args.load_8bit, load_4bit=args.load_4bit,
+        kv_cache_int8=args.kv_cache_int8, scan_layers=args.scan_layers)
     args.model_id = get_model_name_from_path(args.model_path)
 
     def infer(tensor, instruct, modal="video", image_size=None, guide_instruct=None):

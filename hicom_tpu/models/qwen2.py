@@ -100,16 +100,76 @@ class QuantDense(nn.Module):
         return y
 
 
-def make_dense(quantized: bool, features: int, use_bias: bool, dtype, name: str):
-    if quantized:
+# bitsandbytes' NF4 codebook: the 16 quantiles of a standard normal, scaled to
+# [-1, 1] (QLoRA, Dettmers et al. 2023) — the reference loads decoders with
+# bnb_4bit_quant_type="nf4" (model/__init__.py:58-68).
+NF4_CODEBOOK = np.array([
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634, 0.33791524171829224,
+    0.44070982933044434, 0.5626170039176941, 0.7229568362236023, 1.0,
+], np.float32)
+
+NF4_GROUP = 64  # bnb blocksize
+
+
+class QuantDense4(nn.Module):
+    """Weight-only NF4 linear: two 4-bit codebook indices packed per uint8,
+    per-(64-row group, column) absmax scales; dequantization (codebook lookup
+    × scale) fuses into the matmul read. TPU analogue of the reference's
+    bnb 4-bit load (``model/__init__.py:58-68``)."""
+
+    features: int
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_dim = x.shape[-1]
+        assert in_dim % 2 == 0
+        packed = self.param("kernel_nf4", nn.initializers.zeros,
+                            (in_dim // 2, self.features), jnp.uint8)
+        n_groups = (in_dim + NF4_GROUP - 1) // NF4_GROUP
+        scale = self.param("kernel_scale", nn.initializers.ones,
+                           (n_groups, self.features), jnp.float32)
+        lo = (packed & 0xF).astype(jnp.int32)
+        hi = (packed >> 4).astype(jnp.int32)
+        codes = jnp.stack([lo, hi], axis=1).reshape(in_dim, self.features)
+        book = jnp.asarray(NF4_CODEBOOK, self.dtype)
+        w = book[codes] * jnp.repeat(scale.astype(self.dtype), NF4_GROUP, axis=0)[:in_dim]
+        y = jnp.dot(x.astype(self.dtype), w)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def make_dense(quantized, features: int, use_bias: bool, dtype, name: str):
+    if quantized == "int8" or quantized is True:
         return QuantDense(features, use_bias=use_bias, dtype=dtype, name=name)
+    if quantized == "nf4":
+        return QuantDense4(features, use_bias=use_bias, dtype=dtype, name=name)
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
 
-def quantize_decoder_params(lm_params: dict) -> dict:
-    """Convert decoder linear kernels to the QuantDense layout (int8 +
-    per-column absmax scales). Embeddings, norms and lm_head stay fp."""
+def quantize_decoder_params(lm_params: dict, mode: str = "int8") -> dict:
+    """Convert decoder linear kernels to the quantized layout — ``int8``
+    (per-column absmax) or ``nf4`` (packed codebook indices + per-64-row-group
+    scales, the reference's bnb 4-bit analogue). Embeddings, norms and
+    lm_head stay fp."""
     import re as _re
+
+    def quantize_nf4(k: np.ndarray) -> dict:
+        in_dim, out_dim = k.shape
+        pad = (-in_dim) % NF4_GROUP
+        kp = np.pad(k, ((0, pad), (0, 0)))
+        g = kp.reshape(-1, NF4_GROUP, out_dim)
+        absmax = np.maximum(np.abs(g).max(axis=1), 1e-8)  # (n_groups, out)
+        norm = g / absmax[:, None, :]
+        codes = np.abs(norm.reshape(-1, out_dim)[:, :, None] - NF4_CODEBOOK[None, None, :]).argmin(-1)
+        codes = codes[:in_dim].astype(np.uint8)
+        packed = (codes[0::2] | (codes[1::2] << 4)).astype(np.uint8)
+        return {"kernel_nf4": packed, "kernel_scale": absmax.astype(np.float32)}
 
     def walk(tree, path=""):
         if not isinstance(tree, dict):
@@ -118,10 +178,13 @@ def quantize_decoder_params(lm_params: dict) -> dict:
             r"(q_proj|k_proj|v_proj|o_proj|gate_proj|up_proj|down_proj)$", path
         ):
             k = np.asarray(tree["kernel"], np.float32)
-            absmax = np.maximum(np.abs(k).max(axis=0), 1e-8)
-            scale = (absmax / 127.0).astype(np.float32)
-            kq = np.clip(np.round(k / scale[None, :]), -127, 127).astype(np.int8)
-            out = {"kernel_q": kq, "kernel_scale": scale}
+            if mode == "nf4":
+                out = quantize_nf4(k)
+            else:
+                absmax = np.maximum(np.abs(k).max(axis=0), 1e-8)
+                scale = (absmax / 127.0).astype(np.float32)
+                kq = np.clip(np.round(k / scale[None, :]), -127, 127).astype(np.int8)
+                out = {"kernel_q": kq, "kernel_scale": scale}
             if "bias" in tree:
                 out["bias"] = np.asarray(tree["bias"], np.float32)
             return out
@@ -165,7 +228,7 @@ class DecoderAttention(nn.Module):
     head_dim: int
     rope_theta: float
     attention_bias: bool
-    quantized: bool = False
+    quantized: Any = None  # None | "int8" | "nf4"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -273,7 +336,7 @@ class DecoderAttention(nn.Module):
 class DecoderMLP(nn.Module):
     hidden_size: int
     intermediate_size: int
-    quantized: bool = False
+    quantized: Any = None  # None | "int8" | "nf4"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -293,7 +356,7 @@ class DecoderLayer(nn.Module):
                  cache_scales=None):
         cfg = self.config
         h = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="input_layernorm")(x)
-        quantized = getattr(cfg, "quantization", None) == "int8"
+        quantized = getattr(cfg, "quantization", None)  # None | "int8" | "nf4"
         attn_out, new_cache_kv, new_cache_scales = DecoderAttention(
             cfg.hidden_size, cfg.num_attention_heads, cfg.num_key_value_heads,
             cfg.head_dim, cfg.rope_theta, cfg.attention_bias, quantized,

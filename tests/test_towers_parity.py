@@ -293,3 +293,46 @@ def test_scan_layers_matches_unrolled():
     assert set(flat_a) == set(flat_b)
     for k in flat_a:
         np.testing.assert_allclose(np.asarray(flat_a[k]), np.asarray(flat_b[k]))
+
+
+def test_nf4_weight_only_quantization():
+    """QuantDense4 (packed NF4 + group scales) ≈ fp decoder; 4-bit storage
+    (the reference's bnb load_4bit analogue, model/__init__.py:58-68)."""
+    import dataclasses
+
+    from hicom_tpu.models.qwen2 import NF4_CODEBOOK, NF4_GROUP, quantize_decoder_params
+
+    _, model, params, cfg = _build_qwen_pair(seed=8)
+    qcfg = dataclasses.replace(cfg, quantization="nf4")
+    qmodel = Qwen2ForCausalLM(config=qcfg)
+    qparams = quantize_decoder_params(params, mode="nf4")
+
+    ids = np.random.default_rng(8).integers(0, 128, (1, 12))
+    positions = jnp.arange(12)[None]
+    expected = qmodel.init(
+        jax.random.PRNGKey(0), jnp.asarray(ids), positions,
+        method=lambda m, i, p: m(m.embed(i), p),
+    )["params"]
+    assert_tree_match(expected, qparams)
+
+    # packed storage: half the rows, uint8
+    kq = qparams["model"]["layers_0"]["self_attn"]["q_proj"]["kernel_nf4"]
+    kf = params["model"]["layers_0"]["self_attn"]["q_proj"]["kernel"]
+    assert kq.dtype == np.uint8 and kq.shape[0] == kf.shape[0] // 2
+
+    # dequantized weight is the nearest-codebook reconstruction
+    scale = qparams["model"]["layers_0"]["self_attn"]["q_proj"]["kernel_scale"]
+    lo, hi = kq & 0xF, kq >> 4
+    codes = np.stack([lo, hi], 1).reshape(kf.shape[0], -1)
+    w = NF4_CODEBOOK[codes] * np.repeat(scale, NF4_GROUP, axis=0)[: kf.shape[0]]
+    group_absmax = np.abs(np.asarray(kf)).reshape(-1, NF4_GROUP, kf.shape[1]).max(1)
+    step = np.repeat(group_absmax, NF4_GROUP, axis=0)  # worst-case bin width bound
+    assert np.all(np.abs(w - np.asarray(kf)) <= 0.2 * step + 1e-8)
+
+    bound = model.bind({"params": params})
+    embeds = bound.embed(jnp.asarray(ids))
+    fp_logits, _ = model.apply({"params": params}, embeds, positions)
+    q_logits, _ = qmodel.apply({"params": qparams}, embeds, positions)
+    # nf4 is lossier than int8: check relative closeness rather than argmax
+    rel = float(jnp.linalg.norm(q_logits - fp_logits) / jnp.linalg.norm(fp_logits))
+    assert rel < 0.15, f"nf4 rel err {rel}"
