@@ -42,6 +42,42 @@ class HICom:
     eos_token_id: Optional[int] = None
     cache_len: int = 4096
     _gen_cache: dict = field(default_factory=dict)
+    _eval_mesh: Any = None
+
+    def shard_for_eval(self, mesh=None):
+        """Replicate params over a mesh and shard subsequent batched-generate
+        calls' batch axis across it — one pjit program over all chips instead
+        of the reference's one-process-per-GPU bash fan-out
+        (scripts/eval/video/*.sh, SURVEY.md §3.4)."""
+        import jax
+
+        from .parallel.mesh import create_mesh
+        from .parallel.sharding import replicate
+
+        if mesh is None:
+            mesh = create_mesh(dp=len(jax.devices()))
+        self.params = jax.device_put(self.params, replicate(mesh))
+        self._eval_mesh = mesh
+        return mesh
+
+    def _place_batch(self, tree):
+        """Shard array leaves' batch axis over the eval mesh when divisible."""
+        import jax
+
+        from .parallel.sharding import batch_sharding
+
+        mesh = self._eval_mesh
+        if mesh is None:
+            return tree
+        n = mesh.devices.size
+        bs = batch_sharding(mesh)
+
+        def place(x):
+            if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0:
+                return jax.device_put(x, bs)
+            return x
+
+        return jax.tree.map(place, tree)
 
     def generate(
         self,
@@ -65,15 +101,23 @@ class HICom:
 
         temp = float(temperature) if do_sample else 0.0
         has_frames = frames is not None or visual_embeds is not None
+        batch_in = self._place_batch({
+            "input_ids": jnp.asarray(input_ids),
+            "frames": jnp.asarray(frames, dtype=jnp.dtype(self.config.dtype)) if frames is not None else None,
+            "guide_ids": jnp.asarray(guide_ids) if guide_ids is not None else None,
+            "guide_mask": jnp.asarray(guide_mask) if guide_mask is not None else None,
+            "attention_mask": jnp.asarray(attention_mask) if attention_mask is not None else None,
+            "visual_embeds": visual_embeds if visual_embeds is None else jnp.asarray(visual_embeds),
+        })
         out = generate_tokens(
             {"params": self.params},
-            jnp.asarray(input_ids),
-            jnp.asarray(frames, dtype=jnp.dtype(self.config.dtype)) if frames is not None else None,
-            jnp.asarray(guide_ids) if guide_ids is not None else None,
-            jnp.asarray(guide_mask) if guide_mask is not None else None,
+            batch_in["input_ids"],
+            batch_in["frames"],
+            batch_in["guide_ids"],
+            batch_in["guide_mask"],
             jax.random.PRNGKey(seed),
-            jnp.asarray(attention_mask) if attention_mask is not None else None,
-            visual_embeds if visual_embeds is None else jnp.asarray(visual_embeds),
+            batch_in["attention_mask"],
+            batch_in["visual_embeds"],
             model=self.model,
             modal=modal if has_frames else "text",
             max_new_tokens=max_new_tokens,

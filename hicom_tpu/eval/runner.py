@@ -34,6 +34,9 @@ def build_parser():
     p.add_argument("--load-4bit", action="store_true")
     p.add_argument("--kv-cache-int8", action="store_true")
     p.add_argument("--scan-layers", action="store_true")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard batched generation across all local chips (one "
+                        "program replaces the reference's per-GPU bash fan-out)")
     p.add_argument("--max-new-tokens", type=int, default=1024)
     p.add_argument("--batch-size", type=int, default=1,
                    help="videos per compiled generate step (MCQA benchmarks)")
@@ -53,6 +56,8 @@ def main(argv=None):
         args.model_path, model_base=args.model_base, dtype=args.dtype,
         load_8bit=args.load_8bit, load_4bit=args.load_4bit,
         kv_cache_int8=args.kv_cache_int8, scan_layers=args.scan_layers)
+    if args.data_parallel:
+        model.shard_for_eval()
     args.model_id = get_model_name_from_path(args.model_path)
 
     def infer(tensor, instruct, modal="video", image_size=None, guide_instruct=None):

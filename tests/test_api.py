@@ -271,3 +271,26 @@ def test_mm_infer_int8_kv_cache(checkpoint):
     got = mm_infer(video, "what color ?", model_q, tokenizer, modal="video",
                    guide_ids=guide_ids, max_new_tokens=6)
     assert got == ref
+
+
+def test_mm_infer_batch_data_parallel_mesh(checkpoint):
+    """shard_for_eval: batched generation sharded over the 8-device mesh
+    produces the same texts as the unsharded path."""
+    import jax
+
+    from hicom_tpu.api import mm_infer_batch, model_init
+
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(3)
+    videos = [rng.standard_normal((4, 3, 56, 56)).astype(np.float32) for _ in range(8)]
+    questions = [f"what is in the video {i} ?" for i in range(8)]
+    gids = rng.integers(1, TXT["vocab_size"], (8, 16))
+
+    model, _, tokenizer = model_init(checkpoint, dtype="float32", cache_len=256)
+    ref = mm_infer_batch(videos, questions, model, tokenizer, modal="video",
+                         guide_ids=gids, max_new_tokens=5)
+    mesh = model.shard_for_eval()
+    assert mesh.devices.size == 8
+    got = mm_infer_batch(videos, questions, model, tokenizer, modal="video",
+                         guide_ids=gids, max_new_tokens=5)
+    assert got == ref
