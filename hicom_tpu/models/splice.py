@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..constants import IGNORE_INDEX, MODAL_INDEX_MAP
@@ -25,6 +26,36 @@ from ..constants import IGNORE_INDEX, MODAL_INDEX_MAP
 Array = jnp.ndarray
 
 _MODAL_IDS = tuple(MODAL_INDEX_MAP.values())
+
+
+def constrain_batch_sharded(x: Array) -> Array:
+    """Pin a (b, ...) activation to batch sharding when tracing under a mesh.
+
+    The splice gathers (take_along_axis) otherwise let the SPMD partitioner
+    pick per-op shardings; its backward scatter-add then lands on a layout
+    mismatch and triggers an involuntary full rematerialization (one activation
+    all-gather per train step). Constraining to the data axes removes it.
+    No-op outside a mesh or when the batch doesn't divide.
+    """
+    try:
+        from jax.interpreters import pxla
+
+        mesh = pxla.thread_resources.env.physical_mesh
+        if mesh.empty:
+            return x
+        data_axes = tuple(a for a in ("dp", "fsdp") if a in mesh.axis_names)
+        if not data_axes:
+            return x
+        n = 1
+        for a in data_axes:
+            n *= mesh.shape[a]
+        if x.shape[0] % n != 0:
+            return x
+        from jax.sharding import PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(x, P(data_axes))
+    except Exception:
+        return x
 
 
 class SplicedInputs(NamedTuple):
@@ -86,7 +117,7 @@ def splice_visual_embeds(
         out_labels = jnp.where(in_visual | ~out_mask, IGNORE_INDEX, text_labels)
 
     positions = jnp.broadcast_to(jnp.arange(out_len, dtype=jnp.int32)[None], (b, out_len))
-    return SplicedInputs(embeds, out_mask, out_labels, positions)
+    return SplicedInputs(constrain_batch_sharded(embeds), out_mask, out_labels, positions)
 
 
 def splice_visual_embeds_multi(
@@ -146,4 +177,4 @@ def splice_visual_embeds_multi(
 
     embeds = embeds * out_mask[..., None].astype(embeds.dtype)
     positions = jnp.broadcast_to(jnp.arange(out_len, dtype=jnp.int32)[None], (b, out_len))
-    return SplicedInputs(embeds, out_mask, out_labels, positions)
+    return SplicedInputs(constrain_batch_sharded(embeds), out_mask, out_labels, positions)

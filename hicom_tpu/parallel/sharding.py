@@ -22,7 +22,10 @@ DEFAULT_RULES: List[Tuple[str, P]] = [
     (r"language_model/model/layers/layer/.*(o_proj|down_proj)/kernel$", P(None, "tp", "fsdp")),
     (r"language_model/model/layers/layer/.*", P()),
     # --- decoder (Qwen2 / Llama), unrolled layout ---
-    (r"language_model/.*embed_tokens/embedding$", P("tp", "fsdp")),
+    # hidden-sharded (not vocab-sharded): the lookup output and its backward
+    # scatter-add are then natively tp-sharded on D, matching the decoder's
+    # qkv layouts — avoids an involuntary (b, L, D) reshard per train step
+    (r"language_model/.*embed_tokens/embedding$", P("fsdp", "tp")),
     (r"language_model/.*(q_proj|k_proj|v_proj|gate_proj|up_proj)/kernel$", P("fsdp", "tp")),
     (r"language_model/.*(o_proj|down_proj)/kernel$", P("tp", "fsdp")),
     (r"language_model/lm_head/kernel$", P("fsdp", "tp")),
