@@ -71,15 +71,23 @@ def sdpa(
             implementation = "flash"
     grouped = q.ndim == 4 and k.ndim == 4 and q.shape[1] != k.shape[1]
     if implementation == "flash":
+        import os as _os
+
         from .flash_attention import flash_attention, flash_attention_gqa
 
         if grouped:
-            return flash_attention_gqa(
-                q, k, v,
-                scale=float(scale) if scale is not None else None,
-                logit_bias=float(logit_bias),
-                is_causal=is_causal, kv_lengths=kv_lengths,
-            )
+            if _os.environ.get("HICOM_FLASH_GQA", "1") == "0":
+                # escape hatch: repeat KV and run the plain kernel
+                g = q.shape[1] // k.shape[1]
+                k = jnp.repeat(k, g, axis=1)
+                v = jnp.repeat(v, g, axis=1)
+            else:
+                return flash_attention_gqa(
+                    q, k, v,
+                    scale=float(scale) if scale is not None else None,
+                    logit_bias=float(logit_bias),
+                    is_causal=is_causal, kv_lengths=kv_lengths,
+                )
         return flash_attention(
             q, k, v,
             scale=float(scale) if scale is not None else None,
