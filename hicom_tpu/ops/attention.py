@@ -76,6 +76,7 @@ def sdpa(
         from .flash_attention import flash_attention, flash_attention_gqa
 
         if grouped:
+            assert mask is None, "flash GQA supports causal/length masks only"
             if _os.environ.get("HICOM_FLASH_GQA", "1") == "0":
                 # escape hatch: repeat KV and run the plain kernel
                 g = q.shape[1] // k.shape[1]
@@ -101,7 +102,10 @@ def sdpa(
         KVH = k.shape[1]
         qg = q.reshape(b, KVH, H // KVH, L, d)
         if mask is not None and mask.ndim == 4:
-            mask = mask[:, :, None]
+            if mask.shape[1] == H:  # per-head mask: regroup alongside q
+                mask = mask.reshape(b, KVH, H // KVH, *mask.shape[2:])
+            else:  # broadcast over heads (shape (b, 1, Q, K))
+                mask = mask[:, :, None]
         out = sdpa(qg, k[:, :, None], v[:, :, None], scale=scale, logit_bias=logit_bias,
                    mask=mask, is_causal=is_causal, kv_lengths=kv_lengths,
                    implementation="einsum")

@@ -70,7 +70,8 @@ def _flash_kernel(
         k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         mask = k_pos < jnp.minimum(kv_len, kv_len_ref[0])  # block pad + row pad
         if causal:
-            mask &= k_pos <= q_pos
+            # bottom-right-aligned diagonal (einsum-path parity for Lq != Lk)
+            mask &= k_pos <= q_pos + (kv_len - q_seq)
         logits = jnp.where(mask, logits, NEG_INF)
 
         m_prev = m_ref[:]
@@ -93,7 +94,7 @@ def _flash_kernel(
         # effective start is (qi*bq) % q_seq; row r's position (s+r) % q_seq
         # <= s + r <= s + bq - 1, making the bound safe even when a block
         # straddles a fold boundary.
-        @pl.when(ki * block_k <= (qi * block_q) % q_seq + block_q - 1)
+        @pl.when(ki * block_k <= (qi * block_q) % q_seq + (kv_len - q_seq) + block_q - 1)
         def _():
             compute()
     else:
@@ -183,7 +184,7 @@ def _bwd_dq_kernel(
         k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         mask = k_pos < jnp.minimum(kv_len, kv_len_ref[0])
         if causal:
-            mask &= k_pos <= q_pos
+            mask &= k_pos <= q_pos + (kv_len - q_seq)
         p = jnp.where(mask, jnp.exp(s - lse_ref[0][:, None]), 0.0)
         dp = jax.lax.dot_general(do_ref[0].astype(jnp.float32), v_ref[0].astype(jnp.float32),
                                  (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -194,7 +195,7 @@ def _bwd_dq_kernel(
 
     if causal:
         # fold-aware diagonal skip (see _flash_kernel)
-        @pl.when(ki * block_k <= (qi * block_q) % q_seq + block_q - 1)
+        @pl.when(ki * block_k <= (qi * block_q) % q_seq + (kv_len - q_seq) + block_q - 1)
         def _():
             compute()
     else:
@@ -227,7 +228,7 @@ def _bwd_dkv_kernel(
         raw_q = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
         mask = (k_pos < jnp.minimum(kv_len, kv_len_ref[0])) & (raw_q < q_len)
         if causal:
-            mask &= k_pos <= q_pos
+            mask &= k_pos <= q_pos + (kv_len - q_seq)
         p = jnp.where(mask, jnp.exp(s - lse_ref[0][:, None]), 0.0)
         # dV += P^T dO
         dv_acc[:] += jax.lax.dot_general(
@@ -243,7 +244,7 @@ def _bwd_dkv_kernel(
 
     if causal:
         # fold-aware diagonal skip (see _flash_kernel)
-        @pl.when((qi * block_q) % q_seq + block_q - 1 >= ki * block_k)
+        @pl.when((qi * block_q) % q_seq + (kv_len - q_seq) + block_q - 1 >= ki * block_k)
         def _():
             compute()
     else:

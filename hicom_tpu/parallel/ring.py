@@ -37,7 +37,6 @@ def ring_attention(
     scale: Optional[float] = None,
     is_causal: bool = False,
     kv_lengths: Optional[Array] = None,  # (b,) GLOBAL valid kv length
-    dtype=jnp.float32,
 ) -> Array:
     """Exact attention with q and kv sequence axes sharded over ``axis_name``.
 

@@ -158,9 +158,11 @@ def main(argv=None):
     collator = Collator(tokenizer, dargs, guide_tokenizer)
     n_proc, proc_idx = jax.process_count(), jax.process_index()
     if n_proc > 1:
-        # every host must collate identical shapes (see Collator docstring)
+        # every host must collate identical shapes (see Collator docstring);
+        # image batches pad to the crop budget, not the video frame budget
         collator.fixed_length = args.model_max_length
-        collator.fixed_frames = max(args.num_frames, 1)
+        collator.fixed_frames = {"video": max(args.num_frames, 1),
+                                 "image": dataset.max_image_crops}
         collator.fixed_multi_image = dataset.has_multi_image
 
     # ---- mesh / optimizer / state ----
@@ -291,6 +293,8 @@ def main(argv=None):
                         break
                 if not advanced:
                     raise RuntimeError("no full batches; reduce batch size")
+            if proc_idx != 0:
+                return  # lora params are replicated; only host 0 writes
             from .lora import export_peft_adapter
 
             export_peft_adapter(jax.device_get(carry[0]), args.output_dir,

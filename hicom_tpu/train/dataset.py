@@ -219,6 +219,26 @@ class SupervisedDataset:
         the collator's multi_image flag to this so all hosts agree)."""
         return any(isinstance(r.get("image"), list) and len(r["image"]) > 1 for r in self.rows)
 
+    @property
+    def max_image_crops(self) -> int:
+        """Host-independent bound on crops/images per image sample: the longest
+        image list, and for anyres/highres modes the largest pinpoint grid + 1
+        (base crop) — computable from metadata without decoding any image."""
+        n = 1
+        for r in self.rows:
+            if isinstance(r.get("image"), list):
+                n = max(n, len(r["image"]))
+        aspect = self.args.image_aspect_ratio or ""
+        if "anyres" in aspect or aspect in ("highres", "crop_split"):
+            import re as _re
+
+            grids = _re.findall(r"\((\d+)x(\d+)\)", self.args.image_grid_pinpoints or "")
+            if grids:
+                n = max(n, 1 + max(int(a) * int(b) for a, b in grids))
+            else:
+                n = max(n, 1 + 4)  # reference's 2x2 fallback
+        return n
+
     def modality_of(self, idx: int) -> str:
         row = self.rows[idx]
         return "image" if "image" in row else ("video" if "video" in row else "text")
@@ -301,7 +321,9 @@ class Collator:
     # stitch slices into one global array). Also gives ONE compiled step shape
     # for the whole run — the TPU-friendly default for big jobs.
     fixed_length: Optional[int] = None
-    fixed_frames: Optional[int] = None
+    # int (all modalities) or {"video": n, "image": m} — image batches must
+    # not be padded/asserted against the video frame budget
+    fixed_frames: Any = None
     fixed_multi_image: Optional[bool] = None  # pin the flag across hosts
 
     def __call__(self, instances: Sequence[Dict]) -> Dict[str, np.ndarray]:
@@ -336,10 +358,11 @@ class Collator:
                 multi = self.fixed_multi_image
             t = max(f.shape[0] for f in frames)
             if self.fixed_frames is not None:
-                assert t <= self.fixed_frames, (
-                    f"sample has {t} frames/crops > fixed_frames={self.fixed_frames}"
-                )
-                t = self.fixed_frames
+                ff = self.fixed_frames
+                if isinstance(ff, dict):
+                    ff = ff[modal]
+                assert t <= ff, f"sample has {t} frames/crops > fixed_frames={ff} ({modal})"
+                t = ff
             stacked = np.zeros((b, t) + frames[0].shape[1:], dtype=np.float32)
             for i, inst in enumerate(instances):
                 f = inst["frames"]

@@ -240,3 +240,43 @@ def test_local_compressor_fused_env_matches_default(monkeypatch):
     monkeypatch.setenv("HICOM_FUSED_LOCAL", "interpret")
     got = model.apply(variables, ff, None, None, "video")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_causal_alignment_q_ne_k_matches_einsum():
+    """is_causal with Lq != Lk: flash (plain + GQA) matches the einsum path's
+    bottom-right-aligned diagonal (tril offset k = Lk - Lq)."""
+    from hicom_tpu.ops.flash_attention import flash_attention_gqa
+
+    rng = np.random.default_rng(30)
+    bh, Lq, Lk, d = 2, 64, 192, 32
+    q = jnp.asarray(rng.standard_normal((bh, Lq, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((bh, Lk, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((bh, Lk, d)).astype(np.float32))
+    ref = sdpa(q, k, v, is_causal=True, implementation="einsum")
+    got = flash_attention(q, k, v, is_causal=True, block_q=32, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    # grouped variant, kv longer than q per fold
+    b, KVH, g = 1, 2, 2
+    H = KVH * g
+    qg = jnp.asarray(rng.standard_normal((b, H, Lq, d)).astype(np.float32))
+    kg = jnp.asarray(rng.standard_normal((b, KVH, Lk, d)).astype(np.float32))
+    vg = jnp.asarray(rng.standard_normal((b, KVH, Lk, d)).astype(np.float32))
+    ref_g = sdpa(qg, kg, vg, is_causal=True, implementation="einsum")
+    got_g = flash_attention_gqa(qg, kg, vg, is_causal=True, block_q=32, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g), rtol=2e-5, atol=2e-5)
+
+
+def test_grouped_einsum_per_head_mask():
+    """A (b, H, Q, K) per-head mask survives the grouped-einsum reshaping."""
+    rng = np.random.default_rng(31)
+    b, KVH, g, L, d = 1, 2, 2, 16, 8
+    H = KVH * g
+    q = jnp.asarray(rng.standard_normal((b, H, L, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, KVH, L, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, KVH, L, d)).astype(np.float32))
+    mask = jnp.asarray(rng.random((b, H, L, L)) > 0.3)
+    mask = mask.at[..., 0].set(True)  # no fully-masked rows
+    ref = sdpa(q, jnp.repeat(k, g, 1), jnp.repeat(v, g, 1), mask=mask, implementation="einsum")
+    got = sdpa(q, k, v, mask=mask, implementation="einsum")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
