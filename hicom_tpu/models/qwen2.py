@@ -300,6 +300,24 @@ class DecoderAttention(nn.Module):
                 # Causality over cache SLOTS (append-only), not rope positions:
                 # with right padding the two diverge (pads consume slots but
                 # not positions). Padding slots are excluded via the bitmap.
+                import os as _os
+
+                fd = _os.environ.get("HICOM_FLASH_DECODE", "0")
+                if L == 1 and fd != "0" and (jax.default_backend() == "tpu" or fd == "interpret"):
+                    # fused decode kernel: streams the (int8) cache once,
+                    # dequantizing in VMEM — no bf16 cache copy in HBM
+                    from ..ops.flash_decode import flash_decode
+
+                    slot_mask = cache_valid & (jnp.arange(S)[None, :] <= offset)
+                    scales = new_cache_scales or (None, None)
+                    out = flash_decode(
+                        q, ck, cv, slot_mask,
+                        k_scale=scales[0], v_scale=scales[1],
+                        scale=hd**-0.5, interpret=fd == "interpret",
+                    )
+                    out = out.transpose(0, 2, 1, 3).reshape(b, L, H * hd)
+                    out = make_dense(self.quantized, self.hidden_size, False, self.dtype, "o_proj")(out)
+                    return out, new_cache_kv, new_cache_scales
                 kv_slot = jnp.arange(S)[None, None, None, :]  # (1, 1, 1, S)
                 q_slot = (offset + jnp.arange(L))[None, None, :, None]  # (1, 1, L, 1)
                 mask = kv_slot <= q_slot

@@ -336,3 +336,36 @@ def test_nf4_weight_only_quantization():
     # nf4 is lossier than int8: check relative closeness rather than argmax
     rel = float(jnp.linalg.norm(q_logits - fp_logits) / jnp.linalg.norm(fp_logits))
     assert rel < 0.15, f"nf4 rel err {rel}"
+
+
+def test_flash_decode_matches_einsum_path(monkeypatch):
+    """HICOM_FLASH_DECODE=interpret: the fused decode kernel (fp and int8
+    caches) reproduces the einsum decode path."""
+    _, model, params, cfg = _build_qwen_pair(seed=11)
+    rng = np.random.default_rng(11)
+    ids = rng.integers(0, 128, (2, 9))
+    bound = model.bind({"params": params})
+    embeds = bound.embed(jnp.asarray(ids))
+    # right-padded rows: row 1 has only 5 real tokens
+    pm = np.ones((2, 6), bool)
+    pm[1, 5:] = False
+
+    def run(quantized):
+        cache = KVCache.zeros(cfg.num_hidden_layers, 2, cfg.num_key_value_heads, 16,
+                              cfg.head_dim, jnp.float32, quantized=quantized)
+        _, cache = model.apply({"params": params}, embeds[:, :6], jnp.arange(6)[None], cache,
+                               padding_mask=jnp.asarray(pm))
+        outs = []
+        for t in range(6, 9):
+            step, cache = model.apply({"params": params}, embeds[:, t:t + 1],
+                                      jnp.array([[t], [t - 1]]), cache)
+            outs.append(step[:, 0])
+        return jnp.stack(outs, axis=1)
+
+    for quantized in (False, True):
+        monkeypatch.delenv("HICOM_FLASH_DECODE", raising=False)
+        ref = run(quantized)
+        monkeypatch.setenv("HICOM_FLASH_DECODE", "interpret")
+        got = run(quantized)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4,
+                                   err_msg=f"quantized={quantized}")
