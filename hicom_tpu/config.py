@@ -35,6 +35,7 @@ class SiglipVisionConfig:
     patch_size: int = 14
     layer_norm_eps: float = 1e-6
     hidden_act: str = "gelu_pytorch_tanh"
+    remat: bool = False  # gradient-checkpoint encoder layers (train memory)
 
     @property
     def num_patches_per_side(self) -> int:
@@ -97,6 +98,9 @@ class Qwen2Config:
     # int8 KV cache: k/v stored as int8 + per-slot absmax scales; dequant fuses
     # into the attention read (4x less decode HBM traffic vs fp32, 2x vs bf16).
     kv_cache_int8: bool = False
+    # gradient checkpointing: recompute layer activations in the backward pass
+    # (jax.checkpoint) — trades ~30% step FLOPs for O(layers) less activation HBM
+    remat: bool = False
 
 
 @dataclass(frozen=True)
@@ -121,6 +125,7 @@ class LlamaConfig:
     quantization: Optional[str] = None
     scan_layers: bool = False
     kv_cache_int8: bool = False
+    remat: bool = False
 
 
 # --------------------------------------------------------------------------- #

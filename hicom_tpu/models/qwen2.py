@@ -429,8 +429,14 @@ class Qwen2Model(nn.Module):
             param_dtype=jnp.float32, name="embed_tokens",
         )
         if not getattr(cfg, "scan_layers", False):
+            # remat: recompute each block's activations in the backward pass
+            # (static_argnums count self as 0 → the python booleans are 7/8)
+            layer_cls = (
+                nn.remat(DecoderLayer, static_argnums=(7, 8))
+                if getattr(cfg, "remat", False) else DecoderLayer
+            )
             self.layers = [
-                DecoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}") for i in range(cfg.num_hidden_layers)
+                layer_cls(cfg, dtype=self.dtype, name=f"layers_{i}") for i in range(cfg.num_hidden_layers)
             ]
         self.norm = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="norm")
 
@@ -457,8 +463,12 @@ class Qwen2Model(nn.Module):
         quant_cache = cache is not None and cache.k_scale is not None
         if getattr(self.config, "scan_layers", False):
             use_cache = cache is not None
+            scan_target = (
+                nn.remat(DecoderLayerScanned)
+                if getattr(self.config, "remat", False) else DecoderLayerScanned
+            )
             scanned = nn.scan(
-                DecoderLayerScanned,
+                scan_target,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 in_axes=((0 if use_cache else nn.broadcast),

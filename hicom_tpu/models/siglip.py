@@ -84,15 +84,17 @@ class SiglipEncoder(nn.Module):
     num_heads: int
     eps: float
     tap_layer: int = -2
+    remat: bool = False  # gradient-checkpoint each block (train memory)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Tuple[Array, Array]:
+        layer_cls = nn.remat(SiglipEncoderLayer) if self.remat else SiglipEncoderLayer
         # hidden_states list has num_layers+1 entries; resolve tap index.
         tap = self.tap_layer if self.tap_layer >= 0 else self.num_layers + 1 + self.tap_layer
         tapped = x if tap == 0 else None
         for i in range(self.num_layers):
-            x = SiglipEncoderLayer(
+            x = layer_cls(
                 self.hidden_size, self.intermediate_size, self.num_heads, self.eps,
                 dtype=self.dtype, name=f"layers_{i}",
             )(x, mask)
@@ -142,7 +144,8 @@ class SiglipVisionTower(nn.Module):
         final, tapped = SiglipEncoder(
             cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size,
             cfg.num_attention_heads, cfg.layer_norm_eps,
-            tap_layer=self.select_layer, dtype=self.dtype, name="encoder",
+            tap_layer=self.select_layer, remat=getattr(cfg, "remat", False),
+            dtype=self.dtype, name="encoder",
         )(x)
 
         features = tapped.reshape(b, hw, hw, cfg.hidden_size)

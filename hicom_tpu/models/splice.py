@@ -38,11 +38,19 @@ def constrain_batch_sharded(x: Array) -> Array:
     No-op outside a mesh or when the batch doesn't divide.
     """
     try:
-        from jax.interpreters import pxla
+        # explicit-sharding world first; fall back to the classic context mesh
+        # (deprecated in jax 0.8.2 — the except keeps this a no-op if removed)
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is None or not mesh.axis_names:
+            import warnings
 
-        mesh = pxla.thread_resources.env.physical_mesh
-        if mesh.empty:
-            return x
+            from jax.interpreters import pxla
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", DeprecationWarning)
+                mesh = pxla.thread_resources.env.physical_mesh
+            if mesh.empty:
+                return x
         data_axes = tuple(a for a in ("dp", "fsdp") if a in mesh.axis_names)
         if not data_axes:
             return x

@@ -43,6 +43,8 @@ def build_parser():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--scan-layers", action="store_true",
                    help="lax.scan over decoder layers (fast compiles; stacked params)")
+    p.add_argument("--remat", action="store_true",
+                   help="gradient-checkpoint decoder + vision blocks (activation memory)")
     # data
     p.add_argument("--data-path", nargs="+", required=True)
     p.add_argument("--data-folder", default=None)
@@ -111,11 +113,16 @@ def main(argv=None):
     if not base_cfg["model_type"].startswith("hicom_"):
         base_cfg["model_type"] = "hicom_qwen2" if "qwen2" in base_cfg["model_type"] else "hicom_llama"
     cfg = HIComConfig.from_hf_dict(base_cfg)
-    if args.scan_layers:
+    if args.scan_layers or args.remat:
         import dataclasses as _dc
 
-        cfg = cfg.replace(text_config=_dc.replace(cfg.text_config, scan_layers=True))
+        cfg = cfg.replace(text_config=_dc.replace(
+            cfg.text_config, scan_layers=args.scan_layers, remat=args.remat))
     vision_cfg, guide_cfg = _tower_configs(args.vision_tower)
+    if args.remat:
+        import dataclasses as _dc
+
+        vision_cfg = _dc.replace(vision_cfg, remat=True)
     cfg = cfg.replace(
         vision_config=vision_cfg,
         guide_text_config=guide_cfg,

@@ -203,3 +203,53 @@ def test_ring_attention_matches_sdpa():
         # rows here have >=1 valid key (causal row 0 sees key 0; lens >= 100)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5,
                                    err_msg=f"causal={causal} lens={use_lens}")
+
+
+def test_remat_gradients_match():
+    """--remat (nn.remat on decoder + vision blocks): identical loss and
+    gradients, both unrolled and scanned decoders."""
+    import dataclasses
+
+    from hicom_tpu.train.train_step import make_loss_fn
+    from hicom_tpu.weights import stack_decoder_layers
+
+    cfg = tiny_test_config()
+    batch = make_batch(cfg, b=2, t=4, L=12)
+
+    def grads_for(cfg_variant, params_map=lambda p: p):
+        model = HIComModel(config=cfg_variant)
+        params = params_map(
+            HIComModel(config=cfg).init(
+                jax.random.PRNGKey(0), batch["input_ids"], batch["frames"],
+                labels=batch["labels"], modal="video",
+            )["params"]
+        )
+        loss_fn = make_loss_fn(model, "video")
+        (loss, _), g = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
+        return float(loss), g
+
+    loss_ref, g_ref = grads_for(cfg)
+    rcfg = cfg.replace(
+        text_config=dataclasses.replace(cfg.text_config, remat=True),
+        vision_config=dataclasses.replace(cfg.vision_config, remat=True),
+    )
+    loss_r, g_r = grads_for(rcfg)
+    assert loss_r == loss_ref
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_ref)[0],
+        jax.tree_util.tree_flatten_with_path(g_r)[0],
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(ka))
+
+    # scanned + remat compiles and matches the scanned loss
+    def stack_map(p):
+        p = dict(p)
+        p["language_model"] = stack_decoder_layers(p["language_model"])
+        return p
+
+    scfg = cfg.replace(text_config=dataclasses.replace(cfg.text_config, scan_layers=True))
+    srcfg = cfg.replace(text_config=dataclasses.replace(cfg.text_config, scan_layers=True, remat=True))
+    loss_s, _ = grads_for(scfg, stack_map)
+    loss_sr, _ = grads_for(srcfg, stack_map)
+    np.testing.assert_allclose(loss_sr, loss_s, rtol=1e-6)
