@@ -32,6 +32,7 @@ class ClipVisionConfig:
     patch_size: int = 14
     projection_dim: int = 768
     layer_norm_eps: float = 1e-5
+    remat: bool = False  # gradient-checkpoint encoder layers (train memory)
 
     @property
     def num_patches_per_side(self) -> int:
@@ -121,10 +122,11 @@ class ClipVisionTower(nn.Module):
         x = x + pos.astype(x.dtype)[None]
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="pre_layrnorm")(x)
 
+        layer_cls = nn.remat(ClipEncoderLayer) if getattr(cfg, "remat", False) else ClipEncoderLayer
         tap = self.select_layer if self.select_layer >= 0 else cfg.num_hidden_layers + 1 + self.select_layer
         tapped = x if tap == 0 else None
         for i in range(cfg.num_hidden_layers):
-            x = ClipEncoderLayer(
+            x = layer_cls(
                 cfg.hidden_size, cfg.intermediate_size, cfg.num_attention_heads,
                 cfg.layer_norm_eps, dtype=self.dtype, name=f"layers_{i}",
             )(x)
