@@ -101,6 +101,27 @@ class HICom:
 
         temp = float(temperature) if do_sample else 0.0
         has_frames = frames is not None or visual_embeds is not None
+
+        # auto-grow the KV cache for long prompts (e.g. 256-frame videos):
+        # spliced length = L - 1 + V, V from config (static) or the
+        # precomputed embeds; round up so jit variants stay few.
+        L = input_ids.shape[1]
+        if visual_embeds is not None:
+            V = visual_embeds.shape[1]
+        elif frames is not None:
+            key = ("vtok", frames.shape[1], modal)
+            if key not in self._gen_cache:
+                self._gen_cache[key] = int(
+                    self.model.bind({"params": self.params}).visual_token_count(frames.shape[1], modal)
+                )
+            V = self._gen_cache[key]
+        else:
+            V = 0
+        need = L - 1 + V + max_new_tokens + 8
+        cache_len = self.cache_len
+        if need > cache_len:
+            cache_len = ((need + 1023) // 1024) * 1024
+
         batch_in = self._place_batch({
             "input_ids": jnp.asarray(input_ids),
             "frames": jnp.asarray(frames, dtype=jnp.dtype(self.config.dtype)) if frames is not None else None,
@@ -124,7 +145,7 @@ class HICom:
             temperature=temp,
             top_p=float(top_p),
             eos_token_id=int(self.eos_token_id),
-            cache_len=self.cache_len,
+            cache_len=cache_len,
             has_frames=has_frames,
         )
         return np.asarray(out)

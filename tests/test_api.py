@@ -294,3 +294,18 @@ def test_mm_infer_batch_data_parallel_mesh(checkpoint):
     got = mm_infer_batch(videos, questions, model, tokenizer, modal="video",
                          guide_ids=gids, max_new_tokens=5)
     assert got == ref
+
+
+def test_generate_auto_grows_cache(checkpoint):
+    """Prompts longer than cache_len no longer crash: the cache auto-sizes
+    from the spliced length (long-video headroom)."""
+    from hicom_tpu.api import mm_infer, model_init
+
+    model, _, tokenizer = model_init(checkpoint, dtype="float32", cache_len=64)
+    rng = np.random.default_rng(4)
+    video = rng.standard_normal((4, 3, 56, 56)).astype(np.float32)
+    guide_ids = rng.integers(1, TXT["vocab_size"], (1, 16))
+    # visual tokens (local43+global32 on 4f) + prompt easily exceed 64 slots
+    out = mm_infer(video, "tell me everything about the video " * 4, model, tokenizer,
+                   modal="video", guide_ids=guide_ids, max_new_tokens=4)
+    assert isinstance(out, str)
