@@ -160,9 +160,13 @@ def score_pope(answers: List[dict], label_file: str) -> Dict:
     precision = TP / (TP + FP) if TP + FP else 0.0
     recall = TP / (TP + FN) if TP + FN else 0.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    graded = TP + TN + FP + FN  # reference eval_pope.py:52 denominator
+    assert graded == len(preds) == len(labels), (
+        f"preds/labels mismatch: {len(preds)} answers vs {len(labels)} labels"
+    )
     return {
         "TP": TP, "FP": FP, "TN": TN, "FN": FN,
-        "accuracy": (TP + TN) / max(len(preds), 1),
+        "accuracy": (TP + TN) / max(graded, 1),
         "precision": precision, "recall": recall, "f1": f1,
         "yes_ratio": preds.count(1) / max(len(preds), 1),
     }
@@ -343,11 +347,13 @@ def convert_vqav2_for_submission(result_jsonl: str, test_split_jsonl: str, dst_j
 
 
 def convert_vizwiz_for_submission(result_jsonl: str, annotation_json: str, dst_json: str) -> None:
+    """Reference convert_vizwiz_for_submission.py: jsonl test split keyed by
+    question_id; every split question must have an answer (assert, not '')."""
     processor = EvalAIAnswerProcessor()
     results = {json.loads(line)["question_id"]: json.loads(line)["text"] for line in open(result_jsonl)}
-    annotations = json.load(open(annotation_json))
+    test_split = [json.loads(line) for line in open(annotation_json) if line.strip()]
     out = []
-    for ann in annotations:
-        qid = ann["image"] if isinstance(ann, dict) and "image" in ann else ann
-        out.append({"image": qid, "answer": processor(results.get(qid, ""))})
+    for x in test_split:
+        assert x["question_id"] in results, f"missing answer for question {x['question_id']}"
+        out.append({"image": x["image"], "answer": processor(results[x["question_id"]])})
     json.dump(out, open(dst_json, "w"))

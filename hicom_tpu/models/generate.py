@@ -90,7 +90,10 @@ def generate_tokens(
         last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)  # (b, 1, D)
         logits = m.language_model.logits(last_hidden)[:, 0]  # (b, vocab)
 
-        first_tok = sample_token(logits, rng, temperature, top_p)
+        # single-use keys: the loop splits the carried key again, so consume a
+        # distinct subkey here (rng is a closure var — don't rebind it)
+        loop_rng, first_key = jax.random.split(rng)
+        first_tok = sample_token(logits, first_key, temperature, top_p)
 
         out = jnp.full((b, max_new_tokens), eos_token_id, dtype=jnp.int32)
         out = out.at[:, 0].set(first_tok.astype(jnp.int32))
@@ -115,7 +118,7 @@ def generate_tokens(
             done = done | (tok == eos_token_id)
             return step + 1, cache, out, done, rng
 
-        state = (jnp.int32(1), cache, out, done, rng)
+        state = (jnp.int32(1), cache, out, done, loop_rng)
         _, _, out, _, _ = jax.lax.while_loop(cond, body, state)
         return out
 

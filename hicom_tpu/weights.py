@@ -36,8 +36,9 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
 
     try:
         return load_file(path)
-    except Exception:
-        # bf16 tensors can't always round-trip through numpy loader; use torch.
+    except (TypeError, ValueError, NotImplementedError):
+        # bf16 tensors can't round-trip through the numpy loader; use torch.
+        # (IO errors — missing/corrupt file — propagate with the real cause.)
         from safetensors.torch import load_file as load_torch
 
         import torch
@@ -314,9 +315,9 @@ def convert_decoder(state_dict: Mapping[str, np.ndarray], tie_word_embeddings: b
 # --------------------------------------------------------------------------- #
 
 
-def flax_to_torch_state(tree: Any, prefix: str = "", embedding_leaves: Tuple[str, ...] = ()) -> Dict[str, "np.ndarray"]:
+def flax_to_torch_state(tree: Any, prefix: str = "") -> Dict[str, "np.ndarray"]:
     """Flatten a flax subtree into torch-style keys: kernel→weight (transposed;
-    conv HWIO→OIHW), scale→weight, bias→bias; named embedding leaves stay raw
+    conv HWIO→OIHW), scale→weight, bias→bias; ``embedding`` leaves stay raw
     under ``<name>.weight``."""
     import jax
 
@@ -362,15 +363,21 @@ def export_hf_checkpoint(params: Dict[str, Any], config, output_dir: str, dtype:
     os.makedirs(output_dir, exist_ok=True)
     sd: Dict[str, np.ndarray] = {}
 
+    lm = params["language_model"]
+    model_sub = lm.get("model", {}) if isinstance(lm, dict) else {}
+    if isinstance(model_sub, dict) and isinstance(model_sub.get("layers"), dict) \
+            and "layer" in model_sub["layers"]:
+        # nn.scan stacked layout → per-layer keys the reference can read
+        lm = unstack_decoder_layers(dict(lm))
+
     def fix_decoder_keys(d):
         out = {}
         for k, v in d.items():
             k = re.sub(r"model\.layers_(\d+)\.", r"model.layers.\1.", k)
-            k = k.replace("model.embed_tokens.embedding.weight", "model.embed_tokens.weight")
             out[k] = v
         return out
 
-    sd.update(fix_decoder_keys(flax_to_torch_state(params["language_model"])))
+    sd.update(fix_decoder_keys(flax_to_torch_state(lm)))
 
     def fix_tower_keys(d, is_text):
         exact = {
@@ -391,10 +398,37 @@ def export_hf_checkpoint(params: Dict[str, Any], config, output_dir: str, dtype:
             out[f"model.vision_tower.{host}.{root}.{k}"] = v
         return out
 
+    def fix_clip_tower_keys(d, is_text):
+        """Inverse of convert_clip_vision/convert_clip_text naming."""
+        attn = ("q_proj.", "k_proj.", "v_proj.", "out_proj.")
+        out = {}
+        for k, v in d.items():
+            if k in ("visual_projection.weight", "text_projection.weight"):
+                host = "guide_encoder" if is_text else "vision_tower"
+                out[f"model.vision_tower.{host}.{k}"] = v
+                continue
+            if k == "class_embedding":
+                k = "embeddings.class_embedding"
+            elif k in ("position_embedding", "token_embedding"):
+                k = f"embeddings.{k}.weight"
+            elif k.startswith("patch_embedding."):
+                k = "embeddings." + k
+            m = re.match(r"layers_(\d+)\.(.+)", k)
+            if m:
+                rest = m.group(2)
+                mid = "self_attn." if rest.startswith(attn) else ""
+                k = f"encoder.layers.{m.group(1)}.{mid}{rest}"
+            root = "text_model" if is_text else "vision_model"
+            host = "guide_encoder" if is_text else "vision_tower"
+            out[f"model.vision_tower.{host}.{root}.{k}"] = v
+        return out
+
+    is_clip = "clip" in (config.mm_vision_tower or "") and "siglip" not in (config.mm_vision_tower or "")
+    tower_fix = fix_clip_tower_keys if is_clip else fix_tower_keys
     if "vision_tower" in params:
-        sd.update(fix_tower_keys(flax_to_torch_state(params["vision_tower"]), is_text=False))
+        sd.update(tower_fix(flax_to_torch_state(params["vision_tower"]), is_text=False))
     if "guide_encoder" in params:
-        sd.update(fix_tower_keys(flax_to_torch_state(params["guide_encoder"]), is_text=True))
+        sd.update(tower_fix(flax_to_torch_state(params["guide_encoder"]), is_text=True))
     if "mm_projector" in params:
         sd.update({f"model.{k}": v for k, v in flax_to_torch_state(params["mm_projector"], "mm_projector.").items()})
     if "image_newline" in params:

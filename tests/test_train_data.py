@@ -358,3 +358,95 @@ def test_multihost_batch_slicing(tmp_path):
                                       bf["input_ids"])
         np.testing.assert_array_equal(np.concatenate([b0["frames"], b1["frames"]]),
                                       bf["frames"])
+
+
+def test_hf_export_unstacks_scan_layers(tmp_path):
+    """Exporting a scan-layers (stacked) state writes per-layer reference keys,
+    identical to exporting the unstacked params."""
+    import jax
+
+    from hicom_tpu.config import tiny_test_config
+    from hicom_tpu.models.hicom import HIComModel
+    from hicom_tpu.weights import export_hf_checkpoint, load_safetensors, stack_decoder_layers
+
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(0)
+    img = cfg.vision_config.image_size
+    ids = rng.integers(5, cfg.text_config.vocab_size, (1, 6))
+    import jax.numpy as jnp
+    frames = jnp.asarray(rng.standard_normal((1, 2, 3, img, img)).astype(np.float32))
+    params = dict(HIComModel(config=cfg).init(
+        jax.random.PRNGKey(0), jnp.asarray(ids), frames, modal="video")["params"])
+
+    export_hf_checkpoint(params, cfg, str(tmp_path / "flat"), dtype="float32")
+    stacked = dict(params)
+    stacked["language_model"] = stack_decoder_layers(params["language_model"])
+    export_hf_checkpoint(stacked, cfg, str(tmp_path / "stacked"), dtype="float32")
+
+    a = load_safetensors(str(tmp_path / "flat" / "model.safetensors"))
+    b = load_safetensors(str(tmp_path / "stacked" / "model.safetensors"))
+    assert set(a) == set(b)
+    assert any(".layers.0." in k for k in b)
+    assert not any(".layers.layer." in k for k in b)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_clip_tower_export_roundtrip(tmp_path):
+    """CLIP-tower SFT export reloads through the api's key extraction with
+    identical params (the siglip-only key fixer used to scramble clip keys)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hicom_tpu.config import HIComConfig, tiny_test_config
+    from hicom_tpu.models.clip import ClipTextConfig, ClipVisionConfig
+    from hicom_tpu.models.hicom import HIComModel
+    from hicom_tpu.weights import (
+        assert_tree_match, convert_clip_text, convert_clip_vision, convert_decoder,
+        export_hf_checkpoint, load_safetensors,
+    )
+
+    VIS = dict(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+               num_attention_heads=4, image_size=56, patch_size=14, projection_dim=48)
+    TXT = dict(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+               num_attention_heads=4, vocab_size=99, max_position_embeddings=16,
+               projection_dim=48)
+    tiny = tiny_test_config()
+    cfg = HIComConfig(
+        text_config=tiny.text_config,
+        vision_config=ClipVisionConfig(**VIS),
+        guide_text_config=ClipTextConfig(**TXT),
+        mm_vision_tower="clip-vit-large-patch14-336",
+        mm_projector_type="local43_global8",
+        use_guide="direct",
+        projector_qk_dim=48,
+        dtype="float32",
+    )
+    model = HIComModel(config=cfg)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(5, cfg.text_config.vocab_size, (1, 8))
+    frames = jnp.asarray(rng.standard_normal((1, 2, 3, 56, 56)).astype(np.float32))
+    gids = jnp.asarray(rng.integers(0, 99, (1, 12)))
+    params = dict(model.init(jax.random.PRNGKey(0), jnp.asarray(ids), frames,
+                             guide_ids=gids, modal="video")["params"])
+
+    export_hf_checkpoint(params, cfg, str(tmp_path), dtype="float32")
+    sd = load_safetensors(str(tmp_path / "model.safetensors"))
+    # replicate api.load_model's SFT extraction
+    tower_sd = {}
+    for k, v in sd.items():
+        if k.startswith("model.vision_tower.vision_tower."):
+            tower_sd[k[len("model.vision_tower.vision_tower."):]] = v
+        elif k.startswith("model.vision_tower.guide_encoder."):
+            tower_sd[k[len("model.vision_tower.guide_encoder."):]] = v
+    assert tower_sd, "no tower keys exported"
+    vt = convert_clip_vision(tower_sd)
+    ge = convert_clip_text(tower_sd)
+    assert_tree_match(params["vision_tower"], vt)
+    assert_tree_match(params["guide_encoder"], ge)
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params["vision_tower"])[0],
+        jax.tree_util.tree_flatten_with_path(vt)[0],
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(ka))
