@@ -162,7 +162,8 @@ def resize_and_center_crop(img: Image.Image, shortest: int) -> Image.Image:
         nw, nh = int(shortest * ar), shortest
     else:
         nw, nh = shortest, int(shortest / ar)
-    resized = img.resize((nw, nh))
+    # reference uses Image.ANTIALIAS (= LANCZOS in modern PIL), mm_utils.py:476
+    resized = img.resize((nw, nh), Image.LANCZOS)
     left, top = (nw - shortest) / 2, (nh - shortest) / 2
     return resized.crop((left, top, left + shortest, top + shortest))
 

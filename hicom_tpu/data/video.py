@@ -69,9 +69,18 @@ def _video_meta_cv2(video_path: str):
     import cv2
 
     cap = cv2.VideoCapture(video_path)
-    fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
-    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-    cap.release()
+    try:
+        # cv2 never raises: a missing/corrupt file yields fps=0, frames=0 and
+        # a cryptic IndexError downstream — fail loudly with the filename
+        # (decord in the reference raised a clear error).
+        if not cap.isOpened():
+            raise IOError(f"cannot open video: {video_path}")
+        fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        if n <= 0:
+            raise IOError(f"video has no decodable frames: {video_path}")
+    finally:
+        cap.release()
     return fps, n
 
 

@@ -13,7 +13,7 @@ import json
 import os
 import re
 import traceback
-from typing import Callable, Iterator, Optional
+from typing import Callable, Optional
 
 from .common import extract_mcqa_letter, get_chunk, load_questions, open_answer_file, write_jsonl
 
@@ -39,6 +39,7 @@ def _find_media(folder: str, stem: str, formats) -> Optional[str]:
 
 
 VIDEO_FORMATS = [".mp4", ".avi", ".mov", ".mkv"]
+OQA_VIDEO_FORMATS = [".mp4", ".webm", ".avi", ".mov", ".mkv"]  # OQA/caption sets ship .webm
 
 
 # --------------------------------------------------------------------------- #
@@ -114,23 +115,16 @@ class VideoMME:
         ans = open_answer_file(args.answer_file)
         ans_sub = open_answer_file(args.answer_file.replace(".json", "_sub.json"))
 
-        for line in videos:
+        def prepare(line):
+            """Host work off the chip's critical path: decode + subtitle align."""
             ytid = line["url"].split("watch?v=")[-1]
             video_path = _find_media(args.video_folder, ytid, VIDEO_FORMATS)
-            rec, rec_sub = copy.deepcopy(line), copy.deepcopy(line)
             try:
                 tensor = processor["video"](video_path)
                 num_frames = tensor.shape[0]
             except Exception:
                 traceback.print_exc()
-                tensor = None
-            if tensor is None:
-                rec["missing"] = rec_sub["missing"] = True
-                write_jsonl(ans, rec, trailing_comma=True)
-                write_jsonl(ans_sub, rec_sub, trailing_comma=True)
-                continue
-            rec["missing"] = rec_sub["missing"] = False
-
+                return line, None, ""
             subtitle = ""
             srt_path = os.path.join(args.subtitle_folder, f"{ytid}.srt") if args.subtitle_folder else None
             if srt_path and os.path.exists(srt_path):
@@ -150,6 +144,16 @@ class VideoMME:
                                 texts.append(text)
                             break
                 subtitle = "\n".join(texts)
+            return line, tensor, subtitle
+
+        for line, tensor, subtitle in _prefetched(videos, prepare):
+            rec, rec_sub = copy.deepcopy(line), copy.deepcopy(line)
+            if tensor is None:
+                rec["missing"] = rec_sub["missing"] = True
+                write_jsonl(ans, rec, trailing_comma=True)
+                write_jsonl(ans_sub, rec_sub, trailing_comma=True)
+                continue
+            rec["missing"] = rec_sub["missing"] = False
 
             for idx, question in enumerate(line["questions"]):
                 q = question["question"]
@@ -246,11 +250,15 @@ def run_mcqa(items, prepare, record, infer, infer_batch=None, batch_size: int = 
     def flush():
         if not pending:
             return
+        # pad ragged batches to batch_size (repeat the last sample, discard
+        # its extra outputs): one compiled shape, data-parallel divisibility
+        n = len(pending)
+        batch = pending + [pending[-1]] * (batch_size - n)
         outs = infer_batch(
-            [p[0] for p in pending], [p[1] for p in pending],
-            [p[2]["question"] for p in pending],
+            [p[0] for p in batch], [p[1] for p in batch],
+            [p[2]["question"] for p in batch],
         )
-        for out, prep in zip(outs, pending):
+        for out, prep in zip(outs[:n], pending):
             record(out, prep)
         pending.clear()
 
@@ -350,10 +358,14 @@ class EgoSchema:
         questions = load_questions(args.question_file)
         questions = get_chunk(questions, args.num_chunks, args.chunk_idx)
         ans = open_answer_file(args.answer_file)
-        for line in questions:
+        def prepare(line):
+            video_path = _find_media(args.video_folder, line["q_uid"], VIDEO_FORMATS)
+            if video_path is None:
+                raise FileNotFoundError(f"video not found: {line['q_uid']}")
+            return line, processor["video"](video_path)
+
+        for line, tensor in _prefetched(questions, prepare):
             q_uid = line["q_uid"]
-            video_path = _find_media(args.video_folder, q_uid, VIDEO_FORMATS)
-            tensor = processor["video"](video_path)
             opts = [line[f"option {i}"] for i in range(5)]
             instruct = (
                 "Select the best answer to the following multiple-choice question based on the video.\n"
@@ -381,21 +393,26 @@ class EgoSchema:
 class ActivityNetOQA:
     """Open-ended QA; results judged later by the GPT scorer."""
 
-    formats = [".mp4", ".webm", ".avi", ".mov", ".mkv"]
+    formats = OQA_VIDEO_FORMATS
 
     def run(self, args, processor, infer: Infer):
         questions = load_questions(args.question_file)
         answers = load_questions(args.answer_gt_file) if args.answer_gt_file else [{}] * len(questions)
         pairs = get_chunk(list(zip(questions, answers)), args.num_chunks, args.chunk_idx)
         ans = open_answer_file(args.answer_file)
-        for sample, answer in pairs:
+
+        def prepare(pair):
+            sample, answer = pair
             name = sample["video_name"]
             video_path = _find_media(args.video_folder, f"v_{name}", self.formats) or _find_media(
                 args.video_folder, name, self.formats
             )
             if video_path is None:
                 raise FileNotFoundError(f"video not found: {name}")
-            tensor = processor["video"](video_path)
+            return sample, answer, processor["video"](video_path)
+
+        for sample, answer, tensor in _prefetched(pairs, prepare):
+            name = sample["video_name"]
             q = sample["question"]
             out = infer(tensor, q, modal="video", guide_instruct=q)
             write_jsonl(ans, {
@@ -412,18 +429,24 @@ class VCGPTGeneral(ActivityNetOQA):
 
 @register("vcgpt_consistency")
 class VCGPTConsistency:
-    formats = [".mp4", ".webm", ".avi", ".mov", ".mkv"]
+    formats = OQA_VIDEO_FORMATS
 
     def run(self, args, processor, infer: Infer):
         questions = load_questions(args.question_file)
         questions = get_chunk(questions, args.num_chunks, args.chunk_idx)
         ans = open_answer_file(args.answer_file)
-        for sample in questions:
+
+        def prepare(sample):
             name = sample["video_name"]
             video_path = _find_media(args.video_folder, f"v_{name}", self.formats) or _find_media(
                 args.video_folder, name, self.formats
             )
-            tensor = processor["video"](video_path)
+            if video_path is None:
+                raise FileNotFoundError(f"video not found: {name}")
+            return sample, processor["video"](video_path)
+
+        for sample, tensor in _prefetched(questions, prepare):
+            name = sample["video_name"]
             q1, q2 = sample["Q1"], sample["Q2"]
             p1 = infer(tensor, q1, modal="video", guide_instruct=q1)
             p2 = infer(tensor, q2, modal="video", guide_instruct=q2)
@@ -436,18 +459,29 @@ class MSVCCaption:
     """MSVC multi-reference video captioning: generate one caption per video;
     the GPT judge scores correctness/detailedness vs the reference captions."""
 
-    formats = [".mp4", ".webm", ".avi", ".mov", ".mkv"]
+    formats = OQA_VIDEO_FORMATS
 
     def run(self, args, processor, infer: Infer):
         questions = load_questions(args.question_file)
         questions = get_chunk(questions, args.num_chunks, args.chunk_idx)
         ans = open_answer_file(args.answer_file)
-        for sample in questions:
-            name = os.path.splitext(os.path.basename(sample["video_path"]))[0] if "video_path" in sample else sample["video_name"]
-            video_path = sample.get("video_path") or _find_media(args.video_folder, name, self.formats)
-            if args.video_folder and not os.path.isabs(video_path):
-                video_path = os.path.join(args.video_folder, video_path)
-            tensor = processor["video"](video_path)
+
+        def prepare(sample):
+            if "video_path" in sample:
+                name = os.path.splitext(os.path.basename(sample["video_path"]))[0]
+                video_path = sample["video_path"]
+                # only a sample-provided relative path needs the folder prefix
+                # (_find_media results are already joined)
+                if args.video_folder and not os.path.isabs(video_path):
+                    video_path = os.path.join(args.video_folder, video_path)
+            else:
+                name = sample["video_name"]
+                video_path = _find_media(args.video_folder, name, self.formats)
+                if video_path is None:
+                    raise FileNotFoundError(f"video not found: {name}")
+            return sample, name, processor["video"](video_path)
+
+        for sample, name, tensor in _prefetched(questions, prepare):
             q = sample.get("question", "Please describe the video in detail.")
             out = infer(tensor, q, modal="video", guide_instruct=q)
             write_jsonl(ans, {"video_name": name, "question": q,

@@ -57,6 +57,17 @@ def main(argv=None):
         load_8bit=args.load_8bit, load_4bit=args.load_4bit,
         kv_cache_int8=args.kv_cache_int8, scan_layers=args.scan_layers)
     if args.data_parallel:
+        import jax as _jax
+
+        n_dev = len(_jax.devices())
+        if args.batch_size % n_dev != 0:
+            # batches only shard when the batch axis divides the device count
+            raise SystemExit(
+                f"--data-parallel needs --batch-size to be a multiple of the "
+                f"{n_dev} devices (got {args.batch_size}); also note only the "
+                f"batched MCQA benchmarks (mvbench/mlvu/...) shard — "
+                f"batch-1 benchmarks run replicated."
+            )
         model.shard_for_eval()
     args.model_id = get_model_name_from_path(args.model_path)
 

@@ -164,10 +164,35 @@ def test_run_mcqa_batching():
     run_mcqa(items, prepare, record, None, infer_batch, batch_size=2)
     assert len(recorded) == 5
     assert recorded[0] == ("v0", "out:q0")
-    # shape change at item 3 forces a flush: batches [2],[1],[2],[1] → sizes
-    assert sum(batch_sizes) == 5 and max(batch_sizes) <= 2
+    # ragged flushes (shape change at item 3) PAD to batch_size — one
+    # compiled shape, data-parallel divisibility — and the padding outputs
+    # are discarded: 3 flushes of exactly 2 record exactly 5 results
+    assert batch_sizes == [2, 2, 2]
+    assert [r[0] for r in recorded] == [f"v{i}" for i in range(5)]
 
     # singly (no infer_batch)
     recorded.clear()
     run_mcqa(items, prepare, record, lambda t, q, modal, guide_instruct: f"s:{q}", None, 1)
     assert len(recorded) == 5 and recorded[1][1] == "s:q1"
+
+
+def test_frame_sample_matches_reference():
+    """frame_sample index formulas (uniform midpoint rounding + fps stride)
+    match the reference bit-for-bit across durations."""
+    import numpy as np
+
+    from hicom_tpu.data.video import frame_sample
+    from tests.reference_loader import load_reference
+
+    ref = load_reference()
+    ref_fs = ref.mm_utils.frame_sample
+
+    for duration in (1, 7, 8, 9, 31, 32, 100, 723):
+        for nf in (1, 4, 8, 16, 32):
+            ours = frame_sample(duration, mode="uniform", num_frames=nf)
+            theirs = np.asarray(ref_fs(duration, mode="uniform", num_frames=nf))
+            np.testing.assert_array_equal(ours, theirs, err_msg=f"uniform d={duration} nf={nf}")
+        for fps in (10, 24, 25, 30):
+            ours = frame_sample(duration, mode="fps", fps=fps)
+            theirs = np.asarray(ref_fs(duration, mode="fps", fps=fps))
+            np.testing.assert_array_equal(ours, theirs, err_msg=f"fps d={duration} fps={fps}")
