@@ -103,8 +103,8 @@ class HICom:
         has_frames = frames is not None or visual_embeds is not None
 
         # auto-grow the KV cache for long prompts (e.g. 256-frame videos):
-        # spliced length = L - 1 + V, V from config (static) or the
-        # precomputed embeds; round up so jit variants stay few.
+        # spliced length = L + n_sentinels*(V - 1), V from config (static) or
+        # the precomputed embeds; round up so jit variants stay few.
         L = input_ids.shape[1]
         if visual_embeds is not None:
             V = visual_embeds.shape[1]
@@ -117,7 +117,10 @@ class HICom:
             V = self._gen_cache[key]
         else:
             V = 0
-        need = L - 1 + V + max_new_tokens + 8
+        # the generate path always uses the single-sentinel splice
+        # (models/splice.py): out_len = L - 1 + V even if the prompt carries
+        # stray extra sentinels (they stay ordinary tokens)
+        need = L + max(V - 1, 0) + max_new_tokens + 8
         cache_len = self.cache_len
         if need > cache_len:
             cache_len = ((need + 1023) // 1024) * 1024
@@ -324,6 +327,15 @@ def load_model(
 
     is_clip = "clip" in cfg.mm_vision_tower and "siglip" not in cfg.mm_vision_tower
     params["language_model"] = W.convert_decoder(llm_sd, cfg.text_config.tie_word_embeddings)
+    if is_lora_artifact:
+        # merge BEFORE quantize/stack: those rewrite the kernel paths/shapes
+        # the adapter keys address (apply_lora asserts full consumption)
+        from .train.lora import apply_lora, load_peft_adapter
+
+        lora, alpha, rank = load_peft_adapter(model_path)
+        params["language_model"] = apply_lora(params["language_model"], {
+            k.replace("language_model/", ""): v for k, v in lora.items()
+        }, alpha=alpha, rank=rank)
     if load_8bit or load_4bit:
         from .models.qwen2 import quantize_decoder_params
 
@@ -344,14 +356,6 @@ def load_model(
                     params["mm_projector"][f"{side}_logit_bias"] = tower_sd["logit_bias"].reshape(())
     if "model.image_newline" in llm_sd:
         params["image_newline"] = llm_sd["model.image_newline"]
-
-    if is_lora_artifact:
-        from .train.lora import apply_lora, load_peft_adapter
-
-        lora, alpha, rank = load_peft_adapter(model_path)
-        params["language_model"] = apply_lora(params["language_model"], {
-            k.replace("language_model/", ""): v for k, v in lora.items()
-        }, alpha=alpha, rank=rank)
 
     jdtype = jnp.dtype(dtype)
     params = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x, dtype=jdtype if np.issubdtype(x.dtype, np.floating) else None)), params)
@@ -406,14 +410,24 @@ def model_init(model_path: str, model_base: Optional[str] = None, **kwargs):
     return model, processor, tokenizer
 
 
-def _pad_to_bucket(ids: np.ndarray, pad_id: int, bucket: int = 64):
-    L = ids.shape[1]
+def _pad_to_bucket(ids, pad_id: int, bucket: int = 64):
+    """Right-pad id rows to a shared bucketed length → (ids, mask).
+
+    Accepts a 2-D array (already equal-length rows) or a list of ragged 1-D
+    rows (the batched path) — one padding rule for both entry points.
+    """
+    if isinstance(ids, np.ndarray):
+        rows = list(ids)
+    else:
+        rows = [np.asarray(r) for r in ids]
+    L = max(len(r) for r in rows)
     target = max(bucket, ((L + bucket - 1) // bucket) * bucket)
-    if target == L:
-        return ids, np.ones_like(ids, dtype=bool)
-    pad = np.full((ids.shape[0], target - L), pad_id, dtype=ids.dtype)
-    mask = np.concatenate([np.ones_like(ids, dtype=bool), np.zeros_like(pad, dtype=bool)], axis=1)
-    return np.concatenate([ids, pad], axis=1), mask
+    out = np.full((len(rows), target), pad_id, dtype=np.int64)
+    mask = np.zeros((len(rows), target), dtype=bool)
+    for i, r in enumerate(rows):
+        out[i, : len(r)] = r
+        mask[i, : len(r)] = True
+    return out, mask
 
 
 def mm_infer_batch(
@@ -439,15 +453,7 @@ def mm_infer_batch(
         prompt = tokenizer.apply_chat_template(message, tokenize=False, add_generation_prompt=True)
         ids_list.append(np.asarray(tokenizer_multimodal_token(prompt, tokenizer, modal_token, return_tensors="np")))
     pad_id = tokenizer.pad_token_id if tokenizer.pad_token_id is not None else 0
-    bucket = 64
-    max_len = max(len(i) for i in ids_list)
-    L = max(bucket, ((max_len + bucket - 1) // bucket) * bucket)
-    b = len(ids_list)
-    ids = np.full((b, L), pad_id, dtype=np.int64)
-    mask = np.zeros((b, L), dtype=bool)
-    for i, row in enumerate(ids_list):
-        ids[i, : len(row)] = row
-        mask[i, : len(row)] = True
+    ids, mask = _pad_to_bucket(ids_list, pad_id)
 
     guide_ids = kwargs.pop("guide_ids", None)
     guide_mask = kwargs.pop("guide_mask", None)

@@ -105,6 +105,9 @@ def main(argv=None):
     from .optimizer import build_optimizer, trainable_param_count
     from .train_step import TrainState, create_sharded_state, make_train_step
 
+    if args.lora_enable and args.scan_layers:
+        raise SystemExit("--lora-enable targets per-layer 2-D kernels; "
+                         "incompatible with --scan-layers (stacked 3-D params)")
     os.makedirs(args.output_dir, exist_ok=True)
     # ---- config ----
     with open(os.path.join(args.model_path, "config.json")) as f:

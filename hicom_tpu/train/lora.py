@@ -50,6 +50,10 @@ def init_lora_params(
     the overlay starts as identity (peft convention)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     targets = target_kernels(params, target_regex)
+    assert targets, (
+        "no LoRA target kernels matched — stacked (scan-layers) or quantized "
+        "params have no 2-D decoder kernels; train LoRA on the unrolled fp tree"
+    )
     keys = jax.random.split(rng, max(len(targets), 1))
     out = {}
     for (path, (din, dout)), key in zip(sorted(targets.items()), keys):
@@ -67,14 +71,21 @@ def apply_lora(params: Any, lora: Dict[str, Dict[str, jnp.ndarray]], alpha: floa
 
     leaves, treedef = flat
     merged = []
+    consumed = set()
     for path_entries, leaf in leaves:
         path = path_str(path_entries)
         if path in lora:
             ab = lora[path]
             delta = (ab["a"] @ ab["b"]) * scaling
             merged.append(leaf + delta.astype(leaf.dtype))
+            consumed.add(path)
         else:
             merged.append(leaf)
+    unmatched = set(lora) - consumed
+    assert not unmatched, (
+        f"{len(unmatched)} LoRA keys matched no base param (quantized/stacked "
+        f"tree? merge the adapter BEFORE quantize/stack): {sorted(unmatched)[:3]}..."
+    )
     return jax.tree_util.tree_unflatten(treedef, merged)
 
 

@@ -4,9 +4,15 @@ Mirrors the reference's 3-tier optimizer (``hicom_trainer.py:241-345``) and
 ``mm_tunable_parts`` freeze matrix (``train.py:702-738``) as optax transforms:
 
 * label each param by path: ``guide`` (projector guide_injector), ``projector``
-  (rest of mm_projector), ``vision`` (vision_tower), ``base`` (everything else);
-  frozen params get ``optax.set_to_zero``.
-* per-group AdamW with HF's decay rule (no decay on biases / *Norm scales).
+  (rest of mm_projector), ``vision`` (vision_tower + guide_encoder — in the
+  reference the guide encoder lives under ``vision_tower.*`` and inherits
+  ``vision_tower_lr``), ``base`` (everything else); frozen params get
+  ``optax.set_to_zero``.
+* per-group AdamW with HF's decay rule (no decay on params whose name
+  contains "bias", nor *Norm scales).
+* gradient clipping by the GLOBAL norm over all trainable groups (the
+  reference's accelerator.clip_grad_norm_), applied before the per-group
+  updates — not per group.
 """
 
 from __future__ import annotations
@@ -16,19 +22,7 @@ from typing import Any, Optional
 import jax
 import optax
 
-
-def _path_str(path_entries) -> str:
-    parts = []
-    for p in path_entries:
-        if hasattr(p, "key"):
-            parts.append(str(p.key))
-        elif hasattr(p, "name"):
-            parts.append(str(p.name))
-        elif hasattr(p, "idx"):
-            parts.append(str(p.idx))
-        else:
-            parts.append(str(p))
-    return "/".join(parts)
+from ..parallel.sharding import path_str as _path_str
 
 
 def tree_paths(tree: Any):
@@ -61,23 +55,26 @@ def is_tunable(path: str, tunable_parts: str, use_guide: Optional[str] = None) -
 
 
 def lr_group(path: str) -> str:
-    """Reference LR grouping (``hicom_trainer.py:260-268``): keyword match."""
+    """Reference LR grouping (``hicom_trainer.py:260-268``): keyword match on
+    torch param names, where the guide encoder is nested under vision_tower."""
     if "mm_projector" in path and "guide_injector" in path:
         return "guide"
     if "mm_projector" in path:
         return "projector"
-    if "vision_tower" in path:
+    if "vision_tower" in path or "guide_encoder" in path:
         return "vision"
     return "base"
 
 
 def decay_mask(params: Any) -> Any:
-    """HF rule: weight decay everywhere except biases and *Norm scales."""
+    """HF rule (hicom_trainer.py decay_parameters): decay everything except
+    params whose NAME contains "bias" (covers logit_bias scalars) and *Norm
+    scales."""
 
     def one(path_entries, _leaf):
         path = _path_str(path_entries)
         leaf = path.rsplit("/", 1)[-1]
-        return leaf not in ("bias", "scale")
+        return "bias" not in leaf and leaf != "scale"
 
     return jax.tree_util.tree_map_with_path(one, params)
 
@@ -131,20 +128,33 @@ def build_optimizer(
 
     labels = jax.tree_util.tree_map_with_path(label, params)
 
+    def zero_frozen(grads):
+        """Zero frozen grads BEFORE the global-norm clip so frozen params
+        neither move nor inflate the clip norm."""
+        return jax.tree_util.tree_map_with_path(
+            lambda p, g: g * 0 if label(p, None) == "frozen" else g, grads
+        )
+
     def adamw(lr):
         # mask passed as a callable: multi_transform hands each sub-transform a
         # masked tree, and the path-based rule works on any leaf type.
-        tx = optax.adamw(
+        return optax.adamw(
             make_schedule(lr, total_steps, warmup_ratio, schedule_kind),
             b1=b1, b2=b2, eps=eps, weight_decay=weight_decay, mask=decay_mask,
         )
-        if max_grad_norm:
-            return optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
-        return tx
 
     transforms = {g: adamw(lr) for g, lr in group_lrs.items()}
     transforms["frozen"] = optax.set_to_zero()
-    return optax.multi_transform(transforms, labels)
+    tx = optax.multi_transform(transforms, labels)
+    if max_grad_norm:
+        # ONE norm over all trainable grads (reference clip_grad_norm_), not
+        # a per-group clip
+        return optax.chain(
+            optax.stateless(lambda g, _p=None: zero_frozen(g)),
+            optax.clip_by_global_norm(max_grad_norm),
+            tx,
+        )
+    return tx
 
 
 def trainable_param_count(params: Any, tunable_parts: str, use_guide: Optional[str] = None) -> int:
