@@ -176,18 +176,21 @@ class HIComModel(nn.Module):
 
     def _mean_pool_project(self, features: Array, modal: str) -> Array:
         """Baseline mlp/linear path (reference hicom_arch.py:193-208): project,
-        then for video trilinear-downsample 2×2 spatially, then flatten."""
+        then for video trilinear-downsample 2×2 spatially, then flatten.
+        Rows share shape/modal → one vmapped program, not b unrolled copies."""
+        import jax
+
         cfg = self.config
         b, t, h, w, _ = features.shape
         proj = self.mm_projector(features)  # (b, t, h, w, hidden)
         nl = self.image_newline.astype(self.dtype) if self.image_newline is not None else None
-        outs = []
-        for i in range(b):
-            x = proj[i]
+
+        def one(x):
             if modal == "video":
                 x = resize_thw(x, (t, math.ceil(h / 2), math.ceil(w / 2)))
-            outs.append(post_process_visual_feature(cfg, x, modal, nl, is_anyres=False))
-        return jnp.stack(outs, axis=0)
+            return post_process_visual_feature(cfg, x, modal, nl, is_anyres=False)
+
+        return jax.vmap(one)(proj)
 
     def visual_token_count(self, t: int, modal: str) -> int:
         """Static count of visual tokens for a t-frame input (non-anyres)."""

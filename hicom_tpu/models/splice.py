@@ -37,11 +37,12 @@ def constrain_batch_sharded(x: Array) -> Array:
     all-gather per train step). Constraining to the data axes removes it.
     No-op outside a mesh or when the batch doesn't divide.
     """
-    try:
-        # explicit-sharding world first; fall back to the classic context mesh
-        # (deprecated in jax 0.8.2 — the except keeps this a no-op if removed)
-        mesh = jax.sharding.get_abstract_mesh()
-        if mesh is None or not mesh.axis_names:
+    # explicit-sharding world first; fall back to the classic context mesh
+    # (deprecated in jax 0.8.2 — only that access is allowed to fail, so a
+    # real constraint error can't silently disable this optimization)
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or not mesh.axis_names:
+        try:
             import warnings
 
             from jax.interpreters import pxla
@@ -49,21 +50,21 @@ def constrain_batch_sharded(x: Array) -> Array:
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore", DeprecationWarning)
                 mesh = pxla.thread_resources.env.physical_mesh
-            if mesh.empty:
-                return x
-        data_axes = tuple(a for a in ("dp", "fsdp") if a in mesh.axis_names)
-        if not data_axes:
+        except (ImportError, AttributeError):
             return x
-        n = 1
-        for a in data_axes:
-            n *= mesh.shape[a]
-        if x.shape[0] % n != 0:
+        if mesh.empty:
             return x
-        from jax.sharding import PartitionSpec as P
-
-        return jax.lax.with_sharding_constraint(x, P(data_axes))
-    except Exception:
+    data_axes = tuple(a for a in ("dp", "fsdp") if a in mesh.axis_names)
+    if not data_axes:
         return x
+    n = 1
+    for a in data_axes:
+        n *= mesh.shape[a]
+    if x.shape[0] % n != 0:
+        return x
+    from jax.sharding import PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(x, P(data_axes))
 
 
 class SplicedInputs(NamedTuple):
@@ -99,6 +100,7 @@ def splice_visual_embeds(
 
     if attention_mask is None:
         attention_mask = jnp.ones((b, L), dtype=bool)
+    attention_mask = attention_mask.astype(bool)  # int masks break ~out_mask
 
     j = jnp.arange(out_len)[None, :]  # (1, out)
     p_ = p[:, None]
@@ -150,21 +152,26 @@ def splice_visual_embeds_multi(
 
     if attention_mask is None:
         attention_mask = jnp.ones((b, L), dtype=bool)
+    attention_mask = attention_mask.astype(bool)  # int masks break label logic
 
     modal = is_modal_token(input_ids)
     prior = jnp.cumsum(modal.astype(jnp.int32), axis=1) - modal.astype(jnp.int32)  # sentinels before j
-    out_idx = jnp.arange(L)[None] + (V - 1) * prior  # (b, L)
+    # rows with MORE than K sentinels: clamp the shift (keeps every scatter
+    # in-bounds — no silent OOB drops) and mask the surplus sentinels out
+    out_idx = jnp.arange(L)[None] + (V - 1) * jnp.minimum(prior, K)  # (b, L)
+    surplus = modal & (prior >= K)
 
     # text scatter (sentinel rows overwritten by visual below)
     embeds = jnp.zeros((b, out_len, D), text_embeds.dtype)
     batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, L))
     embeds = embeds.at[batch_idx, out_idx].set(text_embeds)
 
-    out_mask = jnp.zeros((b, out_len), bool).at[batch_idx, out_idx].set(attention_mask.astype(bool))
+    keep = attention_mask & ~surplus
+    out_mask = jnp.zeros((b, out_len), bool).at[batch_idx, out_idx].set(keep)
     out_labels = None
     if labels is not None:
         out_labels = jnp.full((b, out_len), IGNORE_INDEX, labels.dtype).at[batch_idx, out_idx].set(
-            jnp.where(attention_mask.astype(bool), labels, IGNORE_INDEX)
+            jnp.where(keep, labels, IGNORE_INDEX)
         )
 
     # k-th sentinel position per row: argsort trick over (not modal, j)

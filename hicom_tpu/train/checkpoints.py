@@ -42,18 +42,31 @@ def save_checkpoint(output_dir: str, state: Any, step: int, max_to_keep: int = 3
 
 def latest_valid_step(output_dir: str) -> Optional[int]:
     """Latest complete checkpoint step, GC'ing incomplete ones (reference
-    ``is_ckpt_valid``/``check_ckpt_exists``)."""
+    ``is_ckpt_valid``/``check_ckpt_exists``, utils.py:63-100).
+
+    Orbax renames in-progress dirs from ``<step>.orbax-checkpoint-tmp-*`` on
+    commit; on filesystems without atomic rename an interrupted save can leave
+    a tmp sibling or an empty step dir. Both are deleted here so resume never
+    restores a truncated checkpoint.
+    """
+    import shutil
+
     root = _ckpt_dir(output_dir)
     if not os.path.isdir(root):
         return None
+    entries = os.listdir(root)
     steps = []
-    for name in os.listdir(root):
+    for name in entries:
+        if ".orbax-checkpoint-tmp" in name:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            continue
         if not re.fullmatch(r"\d+", name):
             continue
         path = os.path.join(root, name)
-        # orbax writes a commit marker; in-progress dirs end with .orbax-checkpoint-tmp
-        if any(n.endswith("orbax-checkpoint-tmp") for n in os.listdir(root)):
-            pass
+        has_tmp_sibling = any(t.startswith(f"{name}.orbax-checkpoint-tmp") for t in entries)
+        if has_tmp_sibling or not os.listdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+            continue
         steps.append(int(name))
     return max(steps) if steps else None
 
@@ -61,8 +74,9 @@ def latest_valid_step(output_dir: str) -> Optional[int]:
 def restore_checkpoint(output_dir: str, state_template: Any, step: Optional[int] = None) -> Any:
     import orbax.checkpoint as ocp
 
+    if step is None:
+        step = latest_valid_step(output_dir)  # validity scan + GC before resume
     mgr = _manager(output_dir)
-    step = step if step is not None else mgr.latest_step()
     if step is None:
         return None
     return mgr.restore(step, args=ocp.args.StandardRestore(state_template))
@@ -76,26 +90,16 @@ def restore_checkpoint(output_dir: str, state_template: Any, step: Optional[int]
 def export_mm_projector_bin(params: dict, path: str) -> None:
     """Write projector weights as the reference's ``mm_projector.bin``
     (fp16 torch state dict under ``model.mm_projector.*`` keys,
-    hicom_trainer.py:98-111)."""
+    hicom_trainer.py:98-111). Key mapping delegates to
+    ``weights.flax_to_torch_state`` — one converter, no drift."""
     import torch
 
-    proj = params["mm_projector"]
-    sd = {}
-    for key_path, leaf in jax.tree_util.tree_flatten_with_path(proj)[0]:
-        parts = [str(getattr(p, "key", getattr(p, "name", p))) for p in key_path]
-        leaf_name = parts[-1]
-        arr = np.asarray(leaf)
-        name = ".".join(parts[:-1])
-        t = torch.from_numpy(arr.astype(np.float32))
-        if leaf_name == "kernel":
-            sd[f"model.mm_projector.{name}.weight"] = t.T.contiguous().half()
-        elif leaf_name == "scale":
-            sd[f"model.mm_projector.{name}.weight"] = t.half()
-        elif leaf_name == "bias":
-            sd[f"model.mm_projector.{name}.bias"] = t.half()
-        else:
-            full = f"model.mm_projector.{name}.{leaf_name}" if name else f"model.mm_projector.{leaf_name}"
-            sd[full] = t.half()
+    from ..weights import flax_to_torch_state
+
+    sd = {
+        k: torch.from_numpy(v.astype(np.float32)).half()
+        for k, v in flax_to_torch_state(params["mm_projector"], "model.mm_projector.").items()
+    }
     if "image_newline" in params:
         sd["model.image_newline"] = torch.from_numpy(np.asarray(params["image_newline"]).astype(np.float32)).half()
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)

@@ -311,3 +311,30 @@ def test_top_p_sampling_cutoff():
     tok = int(sample_token(logits, jax.random.PRNGKey(0), temperature=1.0, top_p=0.01)[0])
     assert tok == 0
     assert int(sample_token(logits, jax.random.PRNGKey(1), temperature=0.0, top_p=0.9)[0]) == 0
+
+
+def test_multi_splice_surplus_sentinels_masked():
+    """Rows with more sentinels than K: scatters stay in-bounds, text order is
+    preserved, and surplus sentinel positions are masked out (no silent drops)."""
+    import jax.numpy as jnp
+
+    from hicom_tpu.constants import VIDEO_TOKEN_INDEX
+    from hicom_tpu.models.splice import splice_visual_embeds_multi
+
+    rng = np.random.default_rng(12)
+    D, V, K = 8, 3, 1
+    ids = np.array([[5, VIDEO_TOKEN_INDEX, 6, VIDEO_TOKEN_INDEX, 7]])  # 2 sentinels, K=1
+    text = rng.standard_normal((1, 5, D)).astype(np.float32)
+    vis = rng.standard_normal((1, K, V, D)).astype(np.float32)
+    out = splice_visual_embeds_multi(jnp.asarray(ids), jnp.asarray(text), jnp.asarray(vis))
+    out_len = 5 + K * (V - 1)
+    assert out.embeds.shape == (1, out_len, D)
+    e, m = np.asarray(out.embeds), np.asarray(out.attention_mask)
+    # layout: [t0, vis(3), t2, SURPLUS(masked), t4]
+    np.testing.assert_allclose(e[0, 0], text[0, 0])
+    np.testing.assert_allclose(e[0, 1:4], vis[0, 0])
+    np.testing.assert_allclose(e[0, 4], text[0, 2])
+    assert not m[0, 5]  # surplus sentinel position masked
+    np.testing.assert_allclose(e[0, 5], 0.0)  # and zeroed
+    np.testing.assert_allclose(e[0, 6], text[0, 4])
+    assert m[0, [0, 1, 2, 3, 4, 6]].all()
