@@ -25,10 +25,17 @@ import numpy as np
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache.json")
 
 
-def tpu_alive(timeout_s: int = 90) -> bool:
+def tpu_alive(timeout_s: int = None) -> bool:
     """The axon relay can die (remote_compile connection refused); probe in a
-    subprocess so a wedged backend can't hang the benchmark driver."""
+    subprocess so a wedged backend can't hang the benchmark driver.
+
+    The default 90s covers jax import + one tiny remote compile on an idle
+    host; when the single host core is contended (e.g. a test suite running),
+    raise via HICOM_PROBE_TIMEOUT."""
     import subprocess
+
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("HICOM_PROBE_TIMEOUT", "90"))
 
     try:
         r = subprocess.run(

@@ -29,12 +29,14 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(
-    kv_len_ref,  # (1,) int32 SMEM — per-row valid kv length
+    kv_len_ref,  # (bh,) int32 SMEM — per-row valid kv lengths (whole array:
+    #              rank-1 blocks must cover the array on the TPU lowering)
     q_ref,  # (1, bq, d)
     k_ref,  # (1, bk, d)
     v_ref,  # (1, bk, d)
     o_ref,  # (1, bq, d)
-    lse_ref,  # (1, bq) f32 — logsumexp output (for the backward pass)
+    lse_ref,  # (1, 1, bq) f32 — logsumexp output (for the backward pass;
+    #             singleton middle dim keeps the last-two-dims block tiling legal)
     acc_ref,  # (bq, d) f32 scratch
     m_ref,  # (bq, 1) f32 scratch — running max
     l_ref,  # (bq, 1) f32 scratch — running denominator
@@ -48,6 +50,7 @@ def _flash_kernel(
     block_k: int,
     q_seq: int,
 ):
+    bi = pl.program_id(0)
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -68,7 +71,7 @@ def _flash_kernel(
 
         q_pos = (qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)) % q_seq
         k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        mask = k_pos < jnp.minimum(kv_len, kv_len_ref[0])  # block pad + row pad
+        mask = k_pos < jnp.minimum(kv_len, kv_len_ref[bi])  # block pad + row pad
         if causal:
             # bottom-right-aligned diagonal (einsum-path parity for Lq != Lk)
             mask &= k_pos <= q_pos + (kv_len - q_seq)
@@ -104,7 +107,7 @@ def _flash_kernel(
     def _finish():
         denom = jnp.maximum(l_ref[:], 1e-30)
         o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
-        lse_ref[0] = (m_ref[:] + jnp.log(denom))[:, 0]
+        lse_ref[0, 0] = (m_ref[:] + jnp.log(denom))[:, 0]
 
 
 def _pad_to_blocks(q, k, v, block_q, block_k):
@@ -138,18 +141,18 @@ def _flash_fwd_impl(q, k, v, kv_lengths, scale, logit_bias, is_causal, block_q, 
         kernel,
         grid=(bh, nq, nk),
         in_specs=[
-            pl.BlockSpec((1,), lambda b, i, j: (b,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bq), lambda b, i, j: (b, i)),
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, nq * bq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, nq * bq), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, nq * bq), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, d), jnp.float32),
@@ -161,7 +164,7 @@ def _flash_fwd_impl(q, k, v, kv_lengths, scale, logit_bias, is_causal, block_q, 
         ),
         interpret=interpret,
     )(kv_lengths, qp, kp, vp)
-    return out[:, :q_len], lse[:, :q_len]
+    return out[:, :q_len], lse[:, 0, :q_len]
 
 
 def _bwd_dq_kernel(
@@ -169,6 +172,7 @@ def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_ref,
     *, scale, logit_bias, causal, q_len, kv_len, block_q, block_k, q_seq,
 ):
+    bi = pl.program_id(0)
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -182,13 +186,13 @@ def _bwd_dq_kernel(
                                 preferred_element_type=jnp.float32) * scale + logit_bias
         q_pos = (qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)) % q_seq
         k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        mask = k_pos < jnp.minimum(kv_len, kv_len_ref[0])
+        mask = k_pos < jnp.minimum(kv_len, kv_len_ref[bi])
         if causal:
             mask &= k_pos <= q_pos + (kv_len - q_seq)
-        p = jnp.where(mask, jnp.exp(s - lse_ref[0][:, None]), 0.0)
+        p = jnp.where(mask, jnp.exp(s - lse_ref[0, 0][:, None]), 0.0)
         dp = jax.lax.dot_general(do_ref[0].astype(jnp.float32), v_ref[0].astype(jnp.float32),
                                  (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0][:, None])
+        ds = p * (dp - delta_ref[0, 0][:, None])
         acc_ref[:] += scale * jax.lax.dot_general(
             ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -211,6 +215,7 @@ def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc,
     *, scale, logit_bias, causal, q_len, kv_len, block_q, block_k, q_seq,
 ):
+    bi = pl.program_id(0)
     ki = pl.program_id(1)
     qi = pl.program_id(2)
     nq = pl.num_programs(2)
@@ -226,17 +231,17 @@ def _bwd_dkv_kernel(
         q_pos = (qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)) % q_seq
         k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         raw_q = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        mask = (k_pos < jnp.minimum(kv_len, kv_len_ref[0])) & (raw_q < q_len)
+        mask = (k_pos < jnp.minimum(kv_len, kv_len_ref[bi])) & (raw_q < q_len)
         if causal:
             mask &= k_pos <= q_pos + (kv_len - q_seq)
-        p = jnp.where(mask, jnp.exp(s - lse_ref[0][:, None]), 0.0)
+        p = jnp.where(mask, jnp.exp(s - lse_ref[0, 0][:, None]), 0.0)
         # dV += P^T dO
         dv_acc[:] += jax.lax.dot_general(
             p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do_ref[0].astype(jnp.float32), v_ref[0].astype(jnp.float32),
                                  (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0][:, None])
+        ds = p * (dp - delta_ref[0, 0][:, None])
         # dK += dS^T Q * scale
         dk_acc[:] += scale * jax.lax.dot_general(
             ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
@@ -262,9 +267,10 @@ def _flash_bwd_impl(q, k, v, kv_lengths, out, lse, do, scale, logit_bias, is_cau
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (bh, Lq)
     qp, kp, vp, bq, bk, nq, nk = _pad_to_blocks(q, k, v, block_q, block_k)
     do_p = jnp.pad(do, ((0, 0), (0, nq * bq - q_len), (0, 0))) if nq * bq != q_len else do
-    # padded q rows: lse=+inf → p=0 keeps them inert in the dkv pass
-    lse_p = jnp.pad(lse, ((0, 0), (0, nq * bq - q_len)), constant_values=jnp.inf)
-    delta_p = jnp.pad(delta, ((0, 0), (0, nq * bq - q_len)))
+    # padded q rows: lse=+inf → p=0 keeps them inert in the dkv pass.
+    # singleton middle dim: see _flash_fwd_impl lse block-tiling note
+    lse_p = jnp.pad(lse, ((0, 0), (0, nq * bq - q_len)), constant_values=jnp.inf)[:, None, :]
+    delta_p = jnp.pad(delta, ((0, 0), (0, nq * bq - q_len)))[:, None, :]
 
     common = dict(scale=scale, logit_bias=logit_bias, causal=is_causal,
                   q_len=q_len, kv_len=kv_len, block_q=bq, block_k=bk,
@@ -273,13 +279,13 @@ def _flash_bwd_impl(q, k, v, kv_lengths, out, lse, do, scale, logit_bias, is_cau
         functools.partial(_bwd_dq_kernel, **common),
         grid=(bh, nq, nk),
         in_specs=[
-            pl.BlockSpec((1,), lambda b, i, j: (b,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bq), lambda b, i, j: (b, i)),
-            pl.BlockSpec((1, bq), lambda b, i, j: (b, i)),
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, nq * bq, d), q.dtype),
@@ -294,13 +300,13 @@ def _flash_bwd_impl(q, k, v, kv_lengths, out, lse, do, scale, logit_bias, is_cau
         functools.partial(_bwd_dkv_kernel, **common),
         grid=(bh, nk, nq),
         in_specs=[
-            pl.BlockSpec((1,), lambda b, j, i: (b,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),
             pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
             pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
             pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),
-            pl.BlockSpec((1, bq), lambda b, j, i: (b, i)),
-            pl.BlockSpec((1, bq), lambda b, j, i: (b, i)),
+            pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i)),
         ],
         out_specs=[
             pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),

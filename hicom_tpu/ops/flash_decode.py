@@ -33,9 +33,10 @@ def _decode_kernel(
     q_ref,  # (1, g, d)
     k_ref,  # (1, bs, d) int8 or fp
     v_ref,  # (1, bs, d)
-    ks_ref,  # (1, bs) f32 — k scales (ones when not quantized)
-    vs_ref,  # (1, bs) f32
-    m_ref,  # (1, bs) int8 — slot mask (1 = attend)
+    ks_ref,  # (1, 1, bs) f32 — k scales (ones when not quantized; singleton
+    #            middle dim keeps the last-two-dims block tiling legal)
+    vs_ref,  # (1, 1, bs) f32
+    m_ref,  # (1, 1, bs) int8 — slot mask (1 = attend)
     o_ref,  # (1, g, d)
     acc_ref,  # (g, d) f32
     mx_ref,  # (g, 1) f32
@@ -61,9 +62,9 @@ def _decode_kernel(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (g, bs)
     if quantized:
-        logits = logits * ks_ref[0][None, :]
+        logits = logits * ks_ref[0, 0][None, :]
     logits = logits * scale
-    logits = jnp.where(m_ref[0][None, :] != 0, logits, NEG_INF)
+    logits = jnp.where(m_ref[0, 0][None, :] != 0, logits, NEG_INF)
 
     m_prev = mx_ref[:]
     m_cur = jnp.max(logits, axis=-1, keepdims=True)
@@ -71,7 +72,7 @@ def _decode_kernel(
     alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(logits - m_new)  # (g, bs)
     if quantized:
-        p = p * vs_ref[0][None, :]
+        p = p * vs_ref[0, 0][None, :]
     l_ref[:] = l_ref[:] * alpha + jnp.sum(jnp.exp(logits - m_new), axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p.astype(compute_dtype), v_ref[0].astype(compute_dtype),
@@ -108,12 +109,14 @@ def flash_decode(
     q2 = q.reshape(b, KVH, g, d).reshape(b * KVH, g, d)
     k2 = k.reshape(b * KVH, S, d)
     v2 = v.reshape(b * KVH, S, d)
-    mask2 = jnp.repeat(slot_mask.astype(jnp.int8), KVH, axis=0)  # (b*KVH, S)
+    # singleton middle dim: block (1, 1, bs) vs array (b*KVH, 1, S) satisfies
+    # the TPU last-two-dims tiling rule for any row count
+    mask2 = jnp.repeat(slot_mask.astype(jnp.int8), KVH, axis=0)[:, None, :]
     if quantized:
-        ks2 = k_scale.reshape(b * KVH, S)
-        vs2 = v_scale.reshape(b * KVH, S)
+        ks2 = k_scale.reshape(b * KVH, 1, S)
+        vs2 = v_scale.reshape(b * KVH, 1, S)
     else:
-        ks2 = vs2 = jnp.ones((b * KVH, S), jnp.float32)
+        ks2 = vs2 = jnp.ones((b * KVH, 1, S), jnp.float32)
 
     bs = min(block_s, max(S, 128))
     ns = pl.cdiv(S, bs)
@@ -121,9 +124,9 @@ def flash_decode(
         pad = ns * bs - S
         k2 = jnp.pad(k2, ((0, 0), (0, pad), (0, 0)))
         v2 = jnp.pad(v2, ((0, 0), (0, pad), (0, 0)))
-        ks2 = jnp.pad(ks2, ((0, 0), (0, pad)))
-        vs2 = jnp.pad(vs2, ((0, 0), (0, pad)))
-        mask2 = jnp.pad(mask2, ((0, 0), (0, pad)))
+        ks2 = jnp.pad(ks2, ((0, 0), (0, 0), (0, pad)))
+        vs2 = jnp.pad(vs2, ((0, 0), (0, 0), (0, pad)))
+        mask2 = jnp.pad(mask2, ((0, 0), (0, 0), (0, pad)))
 
     out = pl.pallas_call(
         functools.partial(_decode_kernel, scale=float(scale), quantized=quantized),
@@ -132,9 +135,9 @@ def flash_decode(
             pl.BlockSpec((1, g, d), lambda r, s: (r, 0, 0)),
             pl.BlockSpec((1, bs, d), lambda r, s: (r, s, 0)),
             pl.BlockSpec((1, bs, d), lambda r, s: (r, s, 0)),
-            pl.BlockSpec((1, bs), lambda r, s: (r, s)),
-            pl.BlockSpec((1, bs), lambda r, s: (r, s)),
-            pl.BlockSpec((1, bs), lambda r, s: (r, s)),
+            pl.BlockSpec((1, 1, bs), lambda r, s: (r, 0, s)),
+            pl.BlockSpec((1, 1, bs), lambda r, s: (r, 0, s)),
+            pl.BlockSpec((1, 1, bs), lambda r, s: (r, 0, s)),
         ],
         out_specs=pl.BlockSpec((1, g, d), lambda r, s: (r, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b * KVH, g, d), q.dtype),

@@ -39,9 +39,13 @@ def _tile_attn_kernel(
     for c in range(w1):  # static unroll over the w tile axis
         k_tile = k_ref[:, :, c * kw:(c + 1) * kw, :].reshape(K, qk)
         v_tile = v_ref[:, :, c * kw:(c + 1) * kw, :].reshape(K, v_ref.shape[-1])
-        q_vec = q_ref[0, 0, c, :][:, None]  # (qk, 1)
+        # f32 before the minor-dim insert: Mosaic only supports non-no-op
+        # minor-dim reshapes for 32-bit types (and fp32 logits are the
+        # reference semantics anyway, projector.py:213)
+        q_vec = q_ref[0, 0, c, :].astype(jnp.float32)[:, None]  # (qk, 1)
         logits = jax.lax.dot_general(
-            k_tile, q_vec, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            k_tile.astype(jnp.float32), q_vec, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )  # (K, 1)
         logits = logits * scale_ref[0] + bias_ref[0]
         m = jnp.max(logits, axis=0, keepdims=True)

@@ -196,3 +196,184 @@ def test_frame_sample_matches_reference():
             ours = frame_sample(duration, mode="fps", fps=fps)
             theirs = np.asarray(ref_fs(duration, mode="fps", fps=fps))
             np.testing.assert_array_equal(ours, theirs, err_msg=f"fps d={duration} fps={fps}")
+
+
+# --------------------------------------------------------------------------- #
+# GPT-judge path (offline: fake Azure client) + OQA/VCGPT/MSVC runners
+# --------------------------------------------------------------------------- #
+
+
+class _FakeJudgeClient:
+    """Stands in for AzureOpenAI: returns canned verdicts, records prompts."""
+
+    def __init__(self, replies):
+        self.replies = list(replies)
+        self.calls = []
+
+        fake = self
+
+        class _Completions:
+            def create(self, model, messages, temperature):
+                fake.calls.append(messages)
+                content = fake.replies[len(fake.calls) - 1]
+
+                class _Msg:
+                    pass
+
+                msg = _Msg()
+                msg.content = content
+                choice = _Msg()
+                choice.message = msg
+                out = _Msg()
+                out.choices = [choice]
+                return out
+
+        class _Chat:
+            completions = _Completions()
+
+        self.chat = _Chat()
+
+
+def test_gpt_judge_caching_and_aggregation(tmp_path, monkeypatch):
+    from hicom_tpu.eval import gpt_judge
+
+    rows = [
+        {"question_id": "q1", "question": "what?", "answer": "a cat", "pred": "a cat"},
+        {"question_id": "q2", "question": "who?", "answer": "a dog", "pred": "a fish"},
+        {"question_id": "q3", "question": "when?", "answer": "noon", "pred": "noon"},
+    ]
+    results = tmp_path / "preds.jsonl"
+    results.write_text("\n".join(json.dumps(r) for r in rows))
+    out_dir = tmp_path / "judged"
+
+    client = _FakeJudgeClient([
+        "{'pred': 'yes', 'score': 5}",
+        "{'pred': 'no', 'score': 1}",
+        "{'pred': 'yes', 'score': 4}",
+    ])
+    monkeypatch.setattr(gpt_judge, "_client", lambda: client)
+
+    report = gpt_judge.judge_results(str(results), str(out_dir), axis="correctness")
+    assert report["judged"] == 3
+    assert report["accuracy"] == pytest.approx(2 / 3)
+    assert report["mean_score"] == pytest.approx((5 + 1 + 4) / 3)
+    assert len(client.calls) == 3
+    # the reference prompt shape: rubric system message + Q/A/P user message
+    sys_msg, user_msg = client.calls[0]
+    assert "correctness" in sys_msg["content"] or "factual" in sys_msg["content"]
+    assert "what?" in user_msg["content"] and "a cat" in user_msg["content"]
+
+    # resume: cached per-sample files short-circuit the client (reference
+    # eval_video_oqa_activitynet.py incremental-resume behavior)
+    client2 = _FakeJudgeClient([])
+    monkeypatch.setattr(gpt_judge, "_client", lambda: client2)
+    report2 = gpt_judge.judge_results(str(results), str(out_dir), axis="correctness")
+    assert report2 == report
+    assert client2.calls == []
+
+
+def test_gpt_judge_consistency_prompt():
+    from hicom_tpu.eval import gpt_judge
+
+    client = _FakeJudgeClient(["{'pred': 'yes', 'score': 3}"])
+    qa = {"Q1": "first q", "Q2": "second q", "A": "gt", "P1": "pred one", "P2": "pred two"}
+    verdict = gpt_judge._judge_one(client, "m", "consistency", qa)
+    assert verdict == {"pred": "yes", "score": 3}
+    user = client.calls[0][1]["content"]
+    for frag in ("first q", "second q", "gt", "pred one", "pred two"):
+        assert frag in user
+
+
+class _Args:
+    def __init__(self, **kw):
+        self.num_chunks = 1
+        self.chunk_idx = 0
+        self.answer_gt_file = None
+        self.__dict__.update(kw)
+
+
+def _fake_processor():
+    return {"video": lambda path, **kw: f"tensor<{path}>"}
+
+
+def test_activitynet_oqa_runner(tmp_path):
+    """OQA inference plumbing: v_-prefix fallback, gt join, jsonl fields
+    (reference inference_video_oqa_activitynet.py:53-62)."""
+    from hicom_tpu.eval.benchmarks import ActivityNetOQA
+
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    (vids / "v_abc.mp4").write_bytes(b"")   # found via v_ prefix
+    (vids / "xyz.webm").write_bytes(b"")    # found via bare name
+
+    qf = tmp_path / "q.json"
+    qf.write_text(json.dumps([
+        {"video_name": "abc", "question": "q-abc", "question_id": 1},
+        {"video_name": "xyz", "question": "q-xyz", "question_id": 2},
+    ]))
+    gf = tmp_path / "a.json"
+    gf.write_text(json.dumps([{"answer": "ans-abc"}, {"answer": "ans-xyz"}]))
+    out = tmp_path / "preds.jsonl"
+
+    calls = []
+
+    def infer(tensor, instruct, modal=None, guide_instruct=None):
+        calls.append((tensor, instruct, modal, guide_instruct))
+        return f"pred:{instruct}"
+
+    args = _Args(question_file=str(qf), answer_gt_file=str(gf),
+                 video_folder=str(vids), answer_file=str(out))
+    ActivityNetOQA().run(args, _fake_processor(), infer)
+
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    assert [r["question_id"] for r in recs] == [1, 2]
+    assert recs[0]["answer"] == "ans-abc" and recs[0]["pred"] == "pred:q-abc"
+    assert "v_abc.mp4" in calls[0][0] and "xyz.webm" in calls[1][0]
+    assert calls[0][2] == "video" and calls[0][3] == "q-abc"  # guide = question
+
+
+def test_vcgpt_consistency_runner(tmp_path):
+    from hicom_tpu.eval.benchmarks import VCGPTConsistency
+
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    (vids / "clip.mp4").write_bytes(b"")
+    qf = tmp_path / "q.json"
+    qf.write_text(json.dumps([
+        {"video_name": "clip", "Q1": "ask one", "Q2": "ask two", "A": "truth"},
+    ]))
+    out = tmp_path / "preds.jsonl"
+
+    args = _Args(question_file=str(qf), video_folder=str(vids), answer_file=str(out))
+    VCGPTConsistency().run(args, _fake_processor(), lambda t, q, **kw: f"p:{q}")
+
+    rec = json.loads(out.read_text().strip())
+    assert rec == {"video_name": "clip", "Q1": "ask one", "Q2": "ask two",
+                   "A": "truth", "P1": "p:ask one", "P2": "p:ask two"}
+    # judge consumes this record directly (consistency axis field names)
+    from hicom_tpu.eval import gpt_judge
+
+    client = _FakeJudgeClient(["{'pred': 'yes', 'score': 5}"])
+    assert gpt_judge._judge_one(client, "m", "consistency", rec)["score"] == 5
+
+
+def test_msvc_runner(tmp_path):
+    from hicom_tpu.eval.benchmarks import MSVCCaption
+
+    vids = tmp_path / "videos"
+    (vids / "sub").mkdir(parents=True)
+    (vids / "sub" / "v1.mp4").write_bytes(b"")
+    qf = tmp_path / "q.json"
+    qf.write_text(json.dumps([
+        {"video_path": "sub/v1.mp4", "captions": ["c1", "c2"]},
+    ]))
+    out = tmp_path / "preds.jsonl"
+
+    args = _Args(question_file=str(qf), video_folder=str(vids), answer_file=str(out))
+    MSVCCaption().run(args, _fake_processor(), lambda t, q, **kw: "a caption")
+
+    rec = json.loads(out.read_text().strip())
+    assert rec["video_name"] == "v1"
+    assert rec["answer"] == ["c1", "c2"]
+    assert rec["pred"] == "a caption"
+    assert rec["question"] == "Please describe the video in detail."
