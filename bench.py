@@ -34,8 +34,10 @@ def tpu_alive(timeout_s: int = None) -> bool:
     raise via HICOM_PROBE_TIMEOUT."""
     import subprocess
 
+    if os.environ.get("HICOM_SKIP_PROBE") == "1":
+        return True
     if timeout_s is None:
-        timeout_s = int(os.environ.get("HICOM_PROBE_TIMEOUT", "90"))
+        timeout_s = int(os.environ.get("HICOM_PROBE_TIMEOUT", "150"))
 
     try:
         r = subprocess.run(
@@ -67,6 +69,7 @@ def main():
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--sync-every", type=int, default=2, help="host sync cadence (bounds queued memory)")
+    ap.add_argument("--no-cache", action="store_true", help="don't overwrite the cached result (A/B runs)")
     args = ap.parse_args()
 
     alive = tpu_alive()
@@ -222,7 +225,7 @@ def _run(args, flags):
             **({"fallback_flags": flags} if flags else {}),
         },
     }
-    if not args.small:
+    if not args.small and not args.no_cache:
         with open(CACHE, "w") as f:
             json.dump(result, f)
     print(json.dumps(result))

@@ -1,0 +1,24 @@
+#!/bin/bash
+# A/B the gated kernel paths on the real chip: one bench.py subprocess per env
+# combo (env gates are read at trace time; fresh process = fresh jit caches).
+# Usage: bash scripts/ab_flags.sh [extra bench args...]
+# Results appended to /tmp/ab_results.jsonl, one line per combo.
+set -u
+cd "$(dirname "$0")/.."
+OUT=/tmp/ab_results.jsonl
+: > "$OUT"
+run() {
+  local name="$1"; shift
+  echo "=== $name ($*) ===" >&2
+  local line
+  line=$(env HICOM_SKIP_PROBE=1 "$@" timeout 900 python bench.py --no-cache "${EXTRA[@]}" 2>/tmp/ab_last.err | tail -1)
+  echo "{\"combo\": \"$name\", \"result\": ${line:-null}}" >> "$OUT"
+  echo "$line" >&2
+}
+EXTRA=("$@")
+run baseline
+run no_gqa_fold        HICOM_FLASH_GQA=0
+run fused_local        HICOM_FUSED_LOCAL=1
+run flash_d72          HICOM_FLASH_MIN_LANE=8
+run fused_local+d72    HICOM_FUSED_LOCAL=1 HICOM_FLASH_MIN_LANE=8
+cat "$OUT"
