@@ -56,6 +56,20 @@ def sdpa(
         # shapes (measured in-program on v5e); HICOM_FLASH_ATTENTION=0 disables.
         import os as _os
 
+        lane_ok = q.shape[-1] % int(_os.environ.get("HICOM_FLASH_MIN_LANE", "64")) == 0
+        # When the whole sequence fits ONE kernel block, the grid collapses to
+        # (rows, 1, 1): logits stay in VMEM (729² f32 ≈ 2.1MB), no multi-block
+        # streaming — and lane-misaligned d (72 for SigLIP) becomes viable.
+        # Measured on v5e (32×16×729×72): flash full-block 5.6ms vs einsum
+        # 7.2ms vs flash-256-blocks 9.5ms; also confirmed at the full-tower
+        # level (261 vs 304 ms / 32 frames). HICOM_FLASH_FULLBLOCK_MAX=0
+        # disables (then lane-misaligned d falls back to einsum).
+        full_block_max = int(_os.environ.get("HICOM_FLASH_FULLBLOCK_MAX", "1024"))
+        full_block = (
+            q.shape[-1] % 8 == 0
+            and 0 < q.shape[-2] <= full_block_max
+            and 0 < k.shape[-2] <= full_block_max
+        )
         if (
             _os.environ.get("HICOM_FLASH_ATTENTION", "1") != "0"
             and jax.default_backend() == "tpu"
@@ -63,10 +77,7 @@ def sdpa(
             and not isinstance(scale, jax.core.Tracer)
             and not isinstance(logit_bias, jax.core.Tracer)
             and q.shape[-2] * k.shape[-2] >= 128 * 128
-            # d must be lane-aligned: at d=72 (SigLIP) the kernel pads to 128
-            # and loses to XLA's fused einsum end-to-end (measured; knob for
-            # re-testing: HICOM_FLASH_MIN_LANE=8 admits d=72).
-            and q.shape[-1] % int(_os.environ.get("HICOM_FLASH_MIN_LANE", "64")) == 0
+            and (lane_ok or full_block)
         ):
             implementation = "flash"
     grouped = q.ndim == 4 and k.ndim == 4 and q.shape[1] != k.shape[1]
@@ -75,6 +86,11 @@ def sdpa(
 
         from .flash_attention import flash_attention, flash_attention_gqa
 
+        full_block_max = int(_os.environ.get("HICOM_FLASH_FULLBLOCK_MAX", "1024"))
+        if 0 < q.shape[-2] <= full_block_max and 0 < k.shape[-2] <= full_block_max:
+            blocks = dict(block_q=full_block_max, block_k=full_block_max)
+        else:
+            blocks = {}
         if grouped:
             assert mask is None, "flash GQA supports causal/length masks only"
             if _os.environ.get("HICOM_FLASH_GQA", "1") == "0":
@@ -94,6 +110,7 @@ def sdpa(
             scale=float(scale) if scale is not None else None,
             logit_bias=float(logit_bias),
             mask=mask, is_causal=is_causal, kv_lengths=kv_lengths,
+            **blocks,
         )
 
     if grouped:

@@ -35,8 +35,9 @@ def _flash_kernel(
     k_ref,  # (1, bk, d)
     v_ref,  # (1, bk, d)
     o_ref,  # (1, bq, d)
-    lse_ref,  # (1, 1, bq) f32 — logsumexp output (for the backward pass;
-    #             singleton middle dim keeps the last-two-dims block tiling legal)
+    lse_ref,  # (1, 1, 1, bq) f32 — logsumexp output (for the backward pass;
+    #             laid out (bh, nq, 1, bq) so the block's LAST TWO dims (1, bq)
+    #             equal the array's — legal for ANY bq under the TPU tiling rule)
     acc_ref,  # (bq, d) f32 scratch
     m_ref,  # (bq, 1) f32 scratch — running max
     l_ref,  # (bq, 1) f32 scratch — running denominator
@@ -107,7 +108,7 @@ def _flash_kernel(
     def _finish():
         denom = jnp.maximum(l_ref[:], 1e-30)
         o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
-        lse_ref[0, 0] = (m_ref[:] + jnp.log(denom))[:, 0]
+        lse_ref[0, 0, 0] = (m_ref[:] + jnp.log(denom))[:, 0]
 
 
 def _pad_to_blocks(q, k, v, block_q, block_k):
@@ -148,11 +149,11 @@ def _flash_fwd_impl(q, k, v, kv_lengths, scale, logit_bias, is_causal, block_q, 
         ],
         out_specs=[
             pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, 1, 1, bq), lambda b, i, j: (b, i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, nq * bq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, 1, nq * bq), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nq, 1, bq), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, d), jnp.float32),
@@ -164,7 +165,7 @@ def _flash_fwd_impl(q, k, v, kv_lengths, scale, logit_bias, is_causal, block_q, 
         ),
         interpret=interpret,
     )(kv_lengths, qp, kp, vp)
-    return out[:, :q_len], lse[:, 0, :q_len]
+    return out[:, :q_len], lse.reshape(bh, nq * bq)[:, :q_len]
 
 
 def _bwd_dq_kernel(
@@ -189,10 +190,10 @@ def _bwd_dq_kernel(
         mask = k_pos < jnp.minimum(kv_len, kv_len_ref[bi])
         if causal:
             mask &= k_pos <= q_pos + (kv_len - q_seq)
-        p = jnp.where(mask, jnp.exp(s - lse_ref[0, 0][:, None]), 0.0)
+        p = jnp.where(mask, jnp.exp(s - lse_ref[0, 0, 0][:, None]), 0.0)
         dp = jax.lax.dot_general(do_ref[0].astype(jnp.float32), v_ref[0].astype(jnp.float32),
                                  (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0, 0][:, None])
+        ds = p * (dp - delta_ref[0, 0, 0][:, None])
         acc_ref[:] += scale * jax.lax.dot_general(
             ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -234,14 +235,14 @@ def _bwd_dkv_kernel(
         mask = (k_pos < jnp.minimum(kv_len, kv_len_ref[bi])) & (raw_q < q_len)
         if causal:
             mask &= k_pos <= q_pos + (kv_len - q_seq)
-        p = jnp.where(mask, jnp.exp(s - lse_ref[0, 0][:, None]), 0.0)
+        p = jnp.where(mask, jnp.exp(s - lse_ref[0, 0, 0][:, None]), 0.0)
         # dV += P^T dO
         dv_acc[:] += jax.lax.dot_general(
             p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do_ref[0].astype(jnp.float32), v_ref[0].astype(jnp.float32),
                                  (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0, 0][:, None])
+        ds = p * (dp - delta_ref[0, 0, 0][:, None])
         # dK += dS^T Q * scale
         dk_acc[:] += scale * jax.lax.dot_general(
             ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
@@ -268,9 +269,9 @@ def _flash_bwd_impl(q, k, v, kv_lengths, out, lse, do, scale, logit_bias, is_cau
     qp, kp, vp, bq, bk, nq, nk = _pad_to_blocks(q, k, v, block_q, block_k)
     do_p = jnp.pad(do, ((0, 0), (0, nq * bq - q_len), (0, 0))) if nq * bq != q_len else do
     # padded q rows: lse=+inf → p=0 keeps them inert in the dkv pass.
-    # singleton middle dim: see _flash_fwd_impl lse block-tiling note
-    lse_p = jnp.pad(lse, ((0, 0), (0, nq * bq - q_len)), constant_values=jnp.inf)[:, None, :]
-    delta_p = jnp.pad(delta, ((0, 0), (0, nq * bq - q_len)))[:, None, :]
+    # (bh, nq, 1, bq) layout: see _flash_fwd_impl lse block-tiling note
+    lse_p = jnp.pad(lse, ((0, 0), (0, nq * bq - q_len)), constant_values=jnp.inf).reshape(bh, nq, 1, bq)
+    delta_p = jnp.pad(delta, ((0, 0), (0, nq * bq - q_len))).reshape(bh, nq, 1, bq)
 
     common = dict(scale=scale, logit_bias=logit_bias, causal=is_causal,
                   q_len=q_len, kv_len=kv_len, block_q=bq, block_k=bk,
@@ -284,8 +285,8 @@ def _flash_bwd_impl(q, k, v, kv_lengths, out, lse, do, scale, logit_bias, is_cau
             pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
-            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, 1, 1, bq), lambda b, i, j: (b, i, 0, 0)),
+            pl.BlockSpec((1, 1, 1, bq), lambda b, i, j: (b, i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, nq * bq, d), q.dtype),
@@ -305,8 +306,8 @@ def _flash_bwd_impl(q, k, v, kv_lengths, out, lse, do, scale, logit_bias, is_cau
             pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
             pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
             pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),
-            pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i)),
-            pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, 1, bq), lambda b, j, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, 1, 1, bq), lambda b, j, i: (b, i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),

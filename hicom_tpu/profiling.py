@@ -32,12 +32,19 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
-def device_time(fn, *args, iters: int = 1, chain: int = 1, **kwargs) -> float:
+def device_time(fn, *args, iters: int = 1, chain: int = 1, feedback=None, **kwargs) -> float:
     """Seconds per call, measured with a forced scalar fetch.
 
     ``chain`` repeats the op inside one jitted program with a data dependency
     (defeats CSE) to amortize host↔device sync — required on tunneled chips
     where per-program round-trips dominate single-call timings.
+
+    The default dependency adds eps to every input between steps, which costs
+    a full read+write of the inputs per step — fine when fn dominates, but it
+    inflates fast ops with big inputs (e.g. attention over 160MB of q/k/v
+    costs ~2ms/step of extra HBM traffic at 159GB/s). For honest kernel
+    comparisons pass ``feedback(out, args) -> args`` routing the output back
+    into the inputs (zero extra traffic), e.g. ``lambda o, a: (o,) + a[1:]``.
     """
 
     def prog(*a, **kw):
@@ -45,7 +52,10 @@ def device_time(fn, *args, iters: int = 1, chain: int = 1, **kwargs) -> float:
         for i in range(chain):
             out = fn(*a, **kw)
             acc = acc + jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32))
-            a = jax.tree.map(lambda x: x + jnp.asarray(1e-6, x.dtype) if hasattr(x, "dtype") else x, a)
+            if feedback is not None:
+                a = feedback(out, a)
+            else:
+                a = jax.tree.map(lambda x: x + jnp.asarray(1e-6, x.dtype) if hasattr(x, "dtype") else x, a)
         return acc
 
     p = jax.jit(prog)

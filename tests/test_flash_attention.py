@@ -280,3 +280,24 @@ def test_grouped_einsum_per_head_mask():
     ref = sdpa(q, jnp.repeat(k, g, 1), jnp.repeat(v, g, 1), mask=mask, implementation="einsum")
     got = sdpa(q, k, v, mask=mask, implementation="einsum")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_vmapped_flash_with_kv_lengths():
+    """pallas batching rule: vmapping the kernel must keep per-row kv_lengths
+    associated with the right rows (regression guard for the program_id row
+    index under an added batch grid dim)."""
+    import jax
+
+    from hicom_tpu.ops.attention import sdpa
+
+    rng = np.random.default_rng(3)
+    B, R, L, D = 3, 2, 64, 32
+    q = jnp.asarray(rng.standard_normal((B, R, L, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, R, L, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, R, L, D)).astype(np.float32))
+    lens = jnp.asarray(rng.integers(10, L, (B, R)), jnp.int32)
+    f = jax.vmap(lambda q, k, v, l: flash_attention(
+        q, k, v, kv_lengths=l, block_q=32, block_k=32, interpret=True))
+    e = jax.vmap(lambda q, k, v, l: sdpa(q, k, v, kv_lengths=l, implementation="einsum"))
+    np.testing.assert_allclose(np.asarray(f(q, k, v, lens)), np.asarray(e(q, k, v, lens)),
+                               rtol=2e-5, atol=2e-5)
