@@ -377,3 +377,87 @@ def test_msvc_runner(tmp_path):
     assert rec["answer"] == ["c1", "c2"]
     assert rec["pred"] == "a caption"
     assert rec["question"] == "Please describe the video in detail."
+
+
+def test_videomme_runner_end_to_end(tmp_path):
+    """Full VideoMME inference plumbing offline: parquet load, video lookup by
+    youtube id, srt frame-alignment, per-question MCQA prompts, letter
+    extraction, chunk-format jsonl output (reference
+    inference_video_mcqa_videomme.py:100-119,185-227,250-306)."""
+    import cv2
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hicom_tpu.eval.benchmarks import VideoMME
+    from hicom_tpu.eval.common import merge_chunked_videomme
+
+    # one video, two questions
+    table = pa.table({
+        "video_id": ["1", "1"],
+        "videoID": ["ytid01", "ytid01"],
+        "url": ["https://www.youtube.com/watch?v=ytid01"] * 2,
+        "duration": ["short"] * 2,
+        "domain": ["Knowledge"] * 2,
+        "sub_category": ["Law"] * 2,
+        "question_id": ["1-1", "1-2"],
+        "task_type": ["Action Recognition"] * 2,
+        "question": ["What color?", "How many?"],
+        "options": [["A. red.", "B. blue.", "C. green.", "D. pink."],
+                    ["A. one.", "B. two.", "C. three.", "D. seven."]],
+        "answer": ["B", "D"],
+    })
+    qf = tmp_path / "test.parquet"
+    pq.write_table(table, str(qf))
+
+    # a real tiny mp4 (50 frames @ 25fps) so srt alignment has duration/fps
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    vw = cv2.VideoWriter(str(vids / "ytid01.mp4"), cv2.VideoWriter_fourcc(*"mp4v"),
+                         25.0, (64, 64))
+    assert vw.isOpened()
+    frame = np.zeros((64, 64, 3), np.uint8)
+    for _ in range(50):
+        vw.write(frame)
+    vw.release()
+
+    subs = tmp_path / "subs"
+    subs.mkdir()
+    # sampled frame times land at ~120-1840ms (8 frames over 50f@25fps)
+    (subs / "ytid01.srt").write_text(
+        "1\n00:00:00,000 --> 00:00:01,000\nhello subtitle\n\n"
+        "2\n00:00:01,500 --> 00:00:02,000\n<i>styled</i> line\n\n"
+    )
+
+    prompts = []
+
+    def infer(tensor, instruct, modal=None, guide_instruct=None):
+        prompts.append(instruct)
+        return "The best answer is (B)." if "color" in instruct else "seven"
+
+    class Args:
+        question_file = str(qf)
+        video_folder = str(vids)
+        subtitle_folder = str(subs)
+        answer_file = str(tmp_path / "out" / "preds.json")
+        num_chunks, chunk_idx = 1, 0
+
+    processor = {"video": lambda path, **kw: np.zeros((8, 3, 8, 8), np.float32)}
+    VideoMME().run(Args(), processor, infer)
+
+    recs = merge_chunked_videomme([Args.answer_file])
+    assert len(recs) == 1 and recs[0]["missing"] is False
+    # letter extraction: explicit letter for q1; option-text ("seven",
+    # digit-word match) for q2
+    assert recs[0]["questions"][0]["response"] == "B"
+    assert recs[0]["questions"][1]["response"] == "D"
+    recs_sub = merge_chunked_videomme([Args.answer_file.replace(".json", "_sub.json")])
+    assert recs_sub[0]["questions"][0]["response"] == "B"
+
+    # 4 infer calls: (plain, subtitled) x 2 questions; subtitled prompts carry
+    # the srt text aligned to sampled frames, with style tags stripped
+    assert len(prompts) == 4
+    sub_prompts = [p for p in prompts if "subtitles are listed below" in p]
+    assert len(sub_prompts) == 2
+    assert "hello subtitle" in sub_prompts[0]
+    assert "<i>" not in sub_prompts[0] and "styled line" in sub_prompts[0]
+    assert all("Respond with only the letter" in p for p in prompts)
