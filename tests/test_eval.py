@@ -461,3 +461,45 @@ def test_videomme_runner_end_to_end(tmp_path):
     assert "hello subtitle" in sub_prompts[0]
     assert "<i>" not in sub_prompts[0] and "styled line" in sub_prompts[0]
     assert all("Respond with only the letter" in p for p in prompts)
+
+
+def test_image_vqa_runner(tmp_path):
+    """Image VQA single-entry runner: jsonl questions, per-benchmark guide
+    strip, reference output record shape (inference_image_vqa.py:96-127)."""
+    from hicom_tpu.eval.benchmarks import ImageVQA
+
+    imgs = tmp_path / "images"
+    imgs.mkdir()
+    (imgs / "0001.jpg").write_bytes(b"")
+    suffix = "\nAnswer the question using a single word or phrase."
+    qf = tmp_path / "q.jsonl"
+    qf.write_text(json.dumps({
+        "question_id": 7, "image": "0001.jpg", "text": "Is there a dog?" + suffix,
+    }) + "\n")
+
+    calls = []
+
+    def infer(tensor, instruct, modal=None, image_size=None, guide_instruct=None):
+        calls.append((tensor, instruct, modal, image_size, guide_instruct))
+        return "yes"
+
+    class Args:
+        question_file = str(qf)
+        image_folder = str(imgs)
+        answer_file = str(tmp_path / "answers.jsonl")
+        sub_benchmark = "pope"
+        model_id = "hicom-test"
+        num_chunks, chunk_idx = 1, 0
+
+    processor = {"image": lambda path, **kw: (f"tensor<{path}>", [(64, 48)])}
+    ImageVQA().run(Args(), processor, infer)
+
+    rec = json.loads((tmp_path / "answers.jsonl").read_text().strip())
+    assert rec["question_id"] == 7 and rec["text"] == "yes"
+    assert rec["prompt"].endswith(suffix)
+    assert len(rec["answer_id"]) == 22 and rec["model_id"] == "hicom-test"
+    # guide prompt strips the single-word suffix for pope; image modal + size
+    tensor, instruct, modal, image_size, guide = calls[0]
+    assert modal == "image" and image_size == (64, 48)
+    assert guide == "Is there a dog?"
+    assert instruct.endswith(suffix)
