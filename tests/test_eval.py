@@ -2,6 +2,7 @@
 
 import importlib.util
 import json
+import os
 import sys
 
 import numpy as np
@@ -503,3 +504,104 @@ def test_image_vqa_runner(tmp_path):
     assert modal == "image" and image_size == (64, 48)
     assert guide == "Is there a dog?"
     assert instruct.endswith(suffix)
+
+
+def test_mvbench_runner(tmp_path):
+    """MVBench: 20-task json collections, per-task video roots, start/end
+    bounds, letterized options (reference inference_video_mcqa_mvbench.py)."""
+    from hicom_tpu.eval.benchmarks import MVBENCH_TASKS, MVBench
+
+    qdir = tmp_path / "json"
+    qdir.mkdir()
+    vids = tmp_path / "videos"
+    for task, (json_file, folder, data_type, has_bound) in MVBENCH_TASKS.items():
+        (vids / folder).mkdir(parents=True, exist_ok=True)
+        (qdir / json_file).write_text("[]")
+    # one bounded task, one unbounded
+    (qdir / "action_sequence.json").write_text(json.dumps([{
+        "video": "c1.mp4", "question": "What first?",
+        "candidates": ["jump", "sit"], "answer": "sit", "start": 1.5, "end": 9.0,
+    }]))
+    (qdir / "action_count.json").write_text(json.dumps([{
+        "video": "c2.mp4", "question": "How many?",
+        "candidates": ["one", "two", "three"], "answer": "three",
+    }]))
+
+    proc_calls = []
+
+    def video_proc(path, s=None, e=None, **kw):
+        proc_calls.append((os.path.basename(path), s, e))
+        return np.zeros((4, 3, 4, 4))
+
+    args = _Args(question_file=str(qdir), video_folder=str(vids),
+                 answer_file=str(tmp_path / "preds.jsonl"))
+    MVBench().run(args, {"video": video_proc}, lambda t, q, **kw: "(B)")
+
+    recs = [json.loads(l) for l in (tmp_path / "preds.jsonl").read_text().splitlines()]
+    by_task = {r["task_type"]: r for r in recs}
+    assert by_task["Action Sequence"]["pred"] == 1 and by_task["Action Sequence"]["gt"] == 1
+    assert by_task["Action Count"]["pred"] == 1 and by_task["Action Count"]["gt"] == 2
+    bounds = {os.path.basename(p): (s, e) for p, s, e in proc_calls}
+    assert bounds["c1.mp4"] == (1.5, 9.0)   # bounded task passes s/e
+    assert bounds["c2.mp4"] == (None, None)
+
+
+def test_mlvu_runner_deterministic_shuffle(tmp_path):
+    """MLVU: 7 task types, seed-0 shuffle parity with the reference
+    (inference_video_mcqa_mlvu.py:122-123)."""
+    from hicom_tpu.eval.benchmarks import MLVU_TASKS, MLVU
+
+    qdir = tmp_path / "json"
+    qdir.mkdir()
+    vids = tmp_path / "videos"
+    n = 0
+    for task, (json_file, folder, _) in MLVU_TASKS.items():
+        (vids / folder).mkdir(parents=True, exist_ok=True)
+        (qdir / json_file).write_text(json.dumps([{
+            "video": f"v{n}.mp4", "question": f"q{n}",
+            "candidates": ["a", "b"], "answer": "b",
+        }]))
+        n += 1
+
+    args = _Args(question_file=str(qdir), video_folder=str(vids),
+                 answer_file=str(tmp_path / "preds.jsonl"))
+    MLVU().run(args, {"video": lambda p, **kw: np.zeros((4, 3, 4, 4))},
+               lambda t, q, **kw: "A")
+    recs = [json.loads(l) for l in (tmp_path / "preds.jsonl").read_text().splitlines()]
+    assert len(recs) == len(MLVU_TASKS)
+    assert all(r["pred"] == 0 and r["gt"] == 1 for r in recs)
+
+    # the reference's exact shuffle: random.seed(0) over the same build order
+    import random
+    order = list(MLVU_TASKS)
+    random.seed(0)
+    random.shuffle(order)
+    assert [r["task_type"] for r in recs] == order
+
+
+def test_egoschema_runner(tmp_path):
+    """EgoSchema: 5-option MCQA, q_uid CSV output for the remote validator
+    (reference inference_video_mcqa_egoschema.py:55-73)."""
+    from hicom_tpu.eval.benchmarks import EgoSchema
+
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    (vids / "uid123.mp4").write_bytes(b"")
+    qf = tmp_path / "q.json"
+    qf.write_text(json.dumps([{
+        "q_uid": "uid123", "question": "What happened?",
+        **{f"option {i}": f"opt{i}" for i in range(5)},
+    }]))
+
+    prompts = []
+
+    def infer(tensor, instruct, modal=None, guide_instruct=None):
+        prompts.append(instruct)
+        return "The best choice is (E)."
+
+    args = _Args(question_file=str(qf), video_folder=str(vids),
+                 answer_file=str(tmp_path / "out.csv"))
+    EgoSchema().run(args, {"video": lambda p, **kw: np.zeros((4, 3, 4, 4))}, infer)
+
+    assert (tmp_path / "out.csv").read_text() == "uid123, 4\n"
+    assert "(E) opt4" in prompts[0] and "(A) opt0" in prompts[0]
