@@ -41,3 +41,25 @@ def load_reference_projector():
     import hicom.model.projector as ref_projector
 
     return ref_projector
+
+
+def load_reference_train():
+    """Import the reference's hicom/train.py preprocessing functions.
+
+    `hicom.hicom_trainer` fails to import under the installed transformers
+    (ALL_LAYERNORM_LAYERS was removed) and needs deepspeed; the preprocess
+    functions under test don't touch it, so stub the trainer module with the
+    names train.py imports at module level.
+    """
+    load_reference()
+    _stub(
+        "hicom.hicom_trainer",
+        HIComTrainer=None,
+        get_peft_state_maybe_zero_3=None,
+        get_peft_state_non_lora_maybe_zero_3=None,
+        find_all_linear_names=None,
+        safe_save_model_for_hf_trainer=None,
+    )
+    import importlib
+
+    return importlib.import_module("hicom.train")

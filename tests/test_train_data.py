@@ -450,3 +450,60 @@ def test_clip_tower_export_roundtrip(tmp_path):
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6,
                                    err_msg=jax.tree_util.keystr(ka))
+
+
+def test_preprocess_parity_with_reference():
+    """Exact input_ids/labels parity with the reference's preprocess /
+    preprocess_plain / preprocess_multimodal (train.py:159-262) using the same
+    word-level chat-template tokenizer on both sides."""
+    import copy
+
+    from tests.reference_loader import load_reference_train
+
+    from hicom_tpu.train.dataset import normalize_modal_tag, preprocess_chat, preprocess_plain
+
+    ref_train = load_reference_train()
+    tok = FakeTokenizer()
+
+    # plain (pretrain): modal token + caption
+    plain_src = [[{"from": "human", "value": "<image>"},
+                  {"from": "gpt", "value": "a red cat sits"}]]
+    ours_ids, ours_labels = preprocess_plain(copy.deepcopy(plain_src), tok, "<image>")
+    theirs = ref_train.preprocess_plain(copy.deepcopy(plain_src), tok, "<image>")
+    np.testing.assert_array_equal(ours_ids[0], theirs["input_ids"][0].numpy())
+    np.testing.assert_array_equal(ours_labels[0], theirs["labels"][0].numpy())
+
+    # chat: multi-turn with modal token, both guided and unguided masking
+    chat_src = [[
+        {"from": "human", "value": "<video>\nwhat happens in the clip ?"},
+        {"from": "gpt", "value": "a dog runs across the yard"},
+        {"from": "human", "value": "and then ?"},
+        {"from": "gpt", "value": "it jumps over the fence"},
+    ]]
+    for guided in (False, True):
+        ours_ids, ours_labels = preprocess_chat(
+            copy.deepcopy(chat_src), tok, "<video>", process_guided=guided)
+        theirs = ref_train.preprocess(
+            copy.deepcopy(chat_src), tok, "<video>", process_guided=guided)
+        np.testing.assert_array_equal(
+            ours_ids[0], theirs["input_ids"][0].numpy(), err_msg=f"ids guided={guided}")
+        np.testing.assert_array_equal(
+            ours_labels[0], theirs["labels"][0].numpy(), err_msg=f"labels guided={guided}")
+
+    # leading non-human turn is skipped (reference train.py:201-203)
+    skew_src = [[{"from": "gpt", "value": "stray"}] + copy.deepcopy(chat_src[0])]
+    ours_ids, ours_labels = preprocess_chat(copy.deepcopy(skew_src), tok, "<video>")
+    theirs = ref_train.preprocess(copy.deepcopy(skew_src), tok, "<video>")
+    np.testing.assert_array_equal(ours_ids[0], theirs["input_ids"][0].numpy())
+    np.testing.assert_array_equal(ours_labels[0], theirs["labels"][0].numpy())
+
+    # preprocess_multimodal: tag moved to head + newline normalization
+    mm_src = [[{"from": "human", "value": "tell me about <video> please"},
+               {"from": "gpt", "value": "ok"}]]
+
+    class DA:
+        is_multimodal = True
+
+    theirs_mm = ref_train.preprocess_multimodal(copy.deepcopy(mm_src), DA(), "<video>")
+    ours_mm = normalize_modal_tag(copy.deepcopy(mm_src), "<video>")
+    assert ours_mm == theirs_mm
