@@ -605,3 +605,32 @@ def test_egoschema_runner(tmp_path):
 
     assert (tmp_path / "out.csv").read_text() == "uid123, 4\n"
     assert "(E) opt4" in prompts[0] and "(A) opt0" in prompts[0]
+
+
+def test_conversation_templates_match_reference():
+    """Prompt strings from every shared template match the reference's
+    conversation.py get_prompt() across separator styles."""
+    from tests.reference_loader import load_reference
+
+    from hicom_tpu.conversation import conv_templates
+
+    ref = load_reference()
+    import importlib
+
+    ref_conv = importlib.import_module("hicom.conversation")
+
+    shared = set(conv_templates) & set(ref_conv.conv_templates)
+    assert len(shared) >= 8, sorted(conv_templates)
+    for name in sorted(shared):
+        ours = conv_templates[name].copy()
+        theirs = ref_conv.conv_templates[name].copy()
+        # two-turn exchange + one open turn
+        ours.append_message(ours.roles[0], "hi <video> there")
+        theirs.append_message(theirs.roles[0], "hi <video> there")
+        ours.append_message(ours.roles[1], "hello!")
+        theirs.append_message(theirs.roles[1], "hello!")
+        ours.append_message(ours.roles[0], "again?")
+        theirs.append_message(theirs.roles[0], "again?")
+        ours.append_message(ours.roles[1], None)
+        theirs.append_message(theirs.roles[1], None)
+        assert ours.get_prompt() == theirs.get_prompt(), name
