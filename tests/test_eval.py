@@ -634,3 +634,50 @@ def test_conversation_templates_match_reference():
         ours.append_message(ours.roles[1], None)
         theirs.append_message(theirs.roles[1], None)
         assert ours.get_prompt() == theirs.get_prompt(), name
+
+
+def test_mm_infer_prompt_ids_match_reference():
+    """The exact token ids fed to generate: modal tag at head, chat template
+    with generation prompt, -200/-201 splice — vs the reference's mm_infer
+    preamble (hicom/__init__.py:54-86) run on the same tokenizer."""
+    import copy
+
+    from tests.reference_loader import load_reference
+
+    from hicom_tpu.data.prompts import tokenizer_multimodal_token
+
+    ref = load_reference()
+
+    class Tok:
+        pad_token_id = 0
+
+        def __call__(self, text, add_special_tokens=False):
+            class R: pass
+            r = R(); r.input_ids = [hash(w) % 997 + 5 for w in text.split()]
+            return r
+
+        def apply_chat_template(self, messages, tokenize=False, add_generation_prompt=False):
+            s = "".join(f"<|im_start|>{m['role']}\n{m['content']}<|im_end|>\n" for m in messages)
+            return s + ("<|im_start|>assistant\n" if add_generation_prompt else "")
+
+    tok = Tok()
+    for modal_token, instruct in [("<video>", "What happens?"),
+                                  ("<image>", "Describe the scene .")]:
+        # both sides build: [user: tag\ninstruct] → chat template → splice
+        message = [{"role": "user", "content": modal_token + "\n" + instruct}]
+        prompt = tok.apply_chat_template(message, tokenize=False, add_generation_prompt=True)
+        ours = np.asarray(tokenizer_multimodal_token(prompt, tok, modal_token, return_tensors="np"))
+        theirs = ref.mm_utils.tokenizer_multimodal_token(prompt, tok, modal_token, return_tensors="pt").numpy()
+        np.testing.assert_array_equal(ours, theirs, err_msg=modal_token)
+
+    # multi-turn list instruct: tag prepended to the FIRST turn only
+    convo = [{"role": "user", "content": "first q"},
+             {"role": "assistant", "content": "ans"},
+             {"role": "user", "content": "second q"}]
+    message = copy.deepcopy(convo)
+    message[0]["content"] = "<video>\n" + message[0]["content"]
+    prompt = tok.apply_chat_template(message, tokenize=False, add_generation_prompt=True)
+    ours = np.asarray(tokenizer_multimodal_token(prompt, tok, "<video>", return_tensors="np"))
+    theirs = ref.mm_utils.tokenizer_multimodal_token(prompt, tok, "<video>", return_tensors="pt").numpy()
+    np.testing.assert_array_equal(ours, theirs)
+    assert (ours == -201).sum() == 1  # one video sentinel at the head turn
