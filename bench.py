@@ -71,6 +71,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="tiny config sanity run")
     ap.add_argument("--batch", type=int, default=4, help="videos per step (4 = batched serving config; 1 = reference shape)")
+    ap.add_argument("--model", choices=("1.5b", "7b"), default="1.5b",
+                    help="decoder scale; 7b runs the flagship Qwen2.5-7B dims with int8 weight-only (bf16 7B does not fit a 16GB chip)")
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--sync-every", type=int, default=2, help="host sync cadence (bounds queued memory)")
@@ -121,6 +123,24 @@ def _run(args, flags):
     if args.small:
         cfg = tiny_test_config(use_guide="direct", dtype="bfloat16")
         t = 4
+    elif args.model == "7b":
+        # Flagship Qwen2.5-7B dims, int8 weight-only (QuantDense): ~7.6GB of
+        # decoder weights + bf16 tower fits one 16GB chip.
+        cfg = HIComConfig(
+            text_config=Qwen2Config(
+                vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+                num_hidden_layers=28, num_attention_heads=28, num_key_value_heads=4,
+                head_dim=128, rope_theta=1000000.0, quantization="int8",
+            ),
+            vision_config=SiglipVisionConfig(),
+            guide_text_config=SiglipTextConfig(),
+            mm_vision_tower="google/siglip-so400m-patch14-384",
+            mm_projector_type="local43_global32",
+            use_guide="direct",
+            num_frames=args.frames,
+            dtype="bfloat16",
+        )
+        t = args.frames
     else:
         # SigLIP-so400m + Qwen2.5-1.5B-scale decoder (fits one v5e chip in bf16).
         cfg = HIComConfig(
@@ -161,9 +181,12 @@ def _run(args, flags):
     @jax.jit
     def make_params(key):
         keys = jax.random.split(key, len(leaves))
-        vals = [
-            (jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02) for k, s in zip(keys, leaves)
-        ]
+        vals = []
+        for k, s in zip(keys, leaves):
+            if s.dtype in (jnp.int8, jnp.uint8):  # quantized kernels/codes
+                vals.append(jax.random.randint(k, s.shape, -120, 120, jnp.int32).astype(s.dtype))
+            else:  # weights and (for quantized layers) f32 scales
+                vals.append(jax.random.normal(k, s.shape, jnp.bfloat16).astype(s.dtype) * 0.02)
         return jax.tree_util.tree_unflatten(treedef, vals)
 
     params = make_params(jax.random.PRNGKey(0))
@@ -225,7 +248,7 @@ def _run(args, flags):
             "ttft_ms_per_video": round(dt / b * 1e3, 2),
             "batch_videos": b,
             "frames_per_video": t,
-            "config": "so400m+qwen2.5-1.5B" if not args.small else "tiny",
+            "config": "tiny" if args.small else ("so400m+qwen2.5-7B-int8" if args.model == "7b" else "so400m+qwen2.5-1.5B"),
             "baseline_model": "analytic A100 bf16 roofline @45% MFU, same computation",
             **({"fallback_flags": flags} if flags else {}),
         },
