@@ -34,15 +34,15 @@ def tpu_alive(timeout_s: int = None) -> bool:
     """The axon relay can die (remote_compile connection refused); probe in a
     subprocess so a wedged backend can't hang the benchmark driver.
 
-    The default 90s covers jax import + one tiny remote compile on an idle
-    host; when the single host core is contended (e.g. a test suite running),
-    raise via HICOM_PROBE_TIMEOUT."""
+    The default 120s covers jax import + one tiny remote compile (~75s on an
+    idle host); when the single host core is contended (e.g. a test suite
+    running), raise via HICOM_PROBE_TIMEOUT (shared with __graft_entry__)."""
     import subprocess
 
     if os.environ.get("HICOM_SKIP_PROBE") == "1":
         return True
     if timeout_s is None:
-        timeout_s = int(os.environ.get("HICOM_PROBE_TIMEOUT", "150"))
+        timeout_s = int(os.environ.get("HICOM_PROBE_TIMEOUT", "120"))
 
     try:
         r = subprocess.run(
@@ -112,6 +112,40 @@ def main():
     _cached_fallback("benchmark failed on-chip at all flag levels; last successful run")
 
 
+def serving_config(model: str = "1.5b", frames: int = 32, **overrides):
+    """The benchmark/serving model configs, shared with scripts/decode_ab.py.
+
+    "1.5b": so400m + Qwen2.5-1.5B-scale decoder (fits one v5e chip in bf16).
+    "7b":   flagship Qwen2.5-7B dims, int8 weight-only decoder.
+    ``overrides`` update the text config (e.g. kv_cache_int8=True).
+    """
+    from hicom_tpu.config import HIComConfig, Qwen2Config, SiglipTextConfig, SiglipVisionConfig
+
+    if model == "7b":
+        text = dict(
+            vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+            num_hidden_layers=28, num_attention_heads=28, num_key_value_heads=4,
+            head_dim=128, rope_theta=1000000.0, quantization="int8",
+        )
+    else:
+        text = dict(
+            vocab_size=151936, hidden_size=1536, intermediate_size=8960,
+            num_hidden_layers=28, num_attention_heads=12, num_key_value_heads=2,
+            head_dim=128, rope_theta=1000000.0,
+        )
+    text.update(overrides)
+    return HIComConfig(
+        text_config=Qwen2Config(**text),
+        vision_config=SiglipVisionConfig(),
+        guide_text_config=SiglipTextConfig(),
+        mm_vision_tower="google/siglip-so400m-patch14-384",
+        mm_projector_type="local43_global32",
+        use_guide="direct",
+        num_frames=frames,
+        dtype="bfloat16",
+    )
+
+
 def _run(args, flags):
     import jax
     import jax.numpy as jnp
@@ -123,40 +157,10 @@ def _run(args, flags):
     if args.small:
         cfg = tiny_test_config(use_guide="direct", dtype="bfloat16")
         t = 4
-    elif args.model == "7b":
-        # Flagship Qwen2.5-7B dims, int8 weight-only (QuantDense): ~7.6GB of
-        # decoder weights + bf16 tower fits one 16GB chip.
-        cfg = HIComConfig(
-            text_config=Qwen2Config(
-                vocab_size=152064, hidden_size=3584, intermediate_size=18944,
-                num_hidden_layers=28, num_attention_heads=28, num_key_value_heads=4,
-                head_dim=128, rope_theta=1000000.0, quantization="int8",
-            ),
-            vision_config=SiglipVisionConfig(),
-            guide_text_config=SiglipTextConfig(),
-            mm_vision_tower="google/siglip-so400m-patch14-384",
-            mm_projector_type="local43_global32",
-            use_guide="direct",
-            num_frames=args.frames,
-            dtype="bfloat16",
-        )
-        t = args.frames
     else:
-        # SigLIP-so400m + Qwen2.5-1.5B-scale decoder (fits one v5e chip in bf16).
-        cfg = HIComConfig(
-            text_config=Qwen2Config(
-                vocab_size=151936, hidden_size=1536, intermediate_size=8960,
-                num_hidden_layers=28, num_attention_heads=12, num_key_value_heads=2,
-                head_dim=128, rope_theta=1000000.0,
-            ),
-            vision_config=SiglipVisionConfig(),
-            guide_text_config=SiglipTextConfig(),
-            mm_vision_tower="google/siglip-so400m-patch14-384",
-            mm_projector_type="local43_global32",
-            use_guide="direct",
-            num_frames=args.frames,
-            dtype="bfloat16",
-        )
+        # "7b": flagship dims, int8 weight-only (QuantDense): ~7.6GB decoder
+        # weights + bf16 tower fits one 16GB chip.
+        cfg = serving_config(args.model, frames=args.frames)
         t = args.frames
 
     model = HIComModel(config=cfg)
@@ -253,7 +257,9 @@ def _run(args, flags):
             **({"fallback_flags": flags} if flags else {}),
         },
     }
-    if not args.small and not args.no_cache:
+    # only the default headline config may write the relay-down fallback cache
+    is_default = args.model == "1.5b" and args.batch == 4 and args.frames == 32
+    if not args.small and not args.no_cache and is_default:
         with open(CACHE, "w") as f:
             json.dump(result, f)
     print(json.dumps(result))

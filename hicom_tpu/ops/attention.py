@@ -48,28 +48,30 @@ def sdpa(
     if kv_axis_name is not None:
         return _sdpa_kv_sharded(q, k, v, scale=scale, logit_bias=logit_bias,
                                 mask=mask, kv_lengths=kv_lengths, axis_name=kv_axis_name)
+    import os as _os
+
+    grouped = q.ndim == 4 and k.ndim == 4 and q.shape[1] != k.shape[1]
+    # When the whole sequence fits ONE kernel block, the grid collapses to
+    # (rows, 1, 1) and the logits tile stays in VMEM (729² f32 ≈ 2.1MB) — no
+    # multi-block streaming. Chip-measured: SigLIP tower (d=72) 5.6ms
+    # full-block vs 7.2 einsum vs 9.5 with 256-blocks; CLIP tower (d=64)
+    # 37.8 vs 57.2 ms/8f vs 256-blocks. This is also what makes
+    # lane-misaligned d (72) flash-viable at all. HICOM_FLASH_FULLBLOCK_MAX=0
+    # disables (then lane-misaligned d falls back to einsum).
+    full_block_max = int(_os.environ.get("HICOM_FLASH_FULLBLOCK_MAX", "1024"))
+    fits_one_block = 0 < q.shape[-2] <= full_block_max and 0 < k.shape[-2] <= full_block_max
+
     if implementation == "auto":
         # Flash pays off when the logits tile is big and the mask is expressible
         # in-kernel (causal/padding only). Traced scales (SigLIP logit_scale)
         # stay on the einsum path.
         # Flash is ~20x faster than the materialized-logits einsum at prefill
         # shapes (measured in-program on v5e); HICOM_FLASH_ATTENTION=0 disables.
-        import os as _os
-
         lane_ok = q.shape[-1] % int(_os.environ.get("HICOM_FLASH_MIN_LANE", "64")) == 0
-        # When the whole sequence fits ONE kernel block, the grid collapses to
-        # (rows, 1, 1): logits stay in VMEM (729² f32 ≈ 2.1MB), no multi-block
-        # streaming — and lane-misaligned d (72 for SigLIP) becomes viable.
-        # Measured on v5e (32×16×729×72): flash full-block 5.6ms vs einsum
-        # 7.2ms vs flash-256-blocks 9.5ms; also confirmed at the full-tower
-        # level (261 vs 304 ms / 32 frames). HICOM_FLASH_FULLBLOCK_MAX=0
-        # disables (then lane-misaligned d falls back to einsum).
-        full_block_max = int(_os.environ.get("HICOM_FLASH_FULLBLOCK_MAX", "1024"))
-        full_block = (
-            q.shape[-1] % 8 == 0
-            and 0 < q.shape[-2] <= full_block_max
-            and 0 < k.shape[-2] <= full_block_max
-        )
+        # grouped (GQA) folds q rows to g·L, which exceeds one block at real
+        # sizes and never receives the full-block override — so only
+        # lane-aligned d qualifies there.
+        full_block = fits_one_block and q.shape[-1] % 8 == 0 and not grouped
         if (
             _os.environ.get("HICOM_FLASH_ATTENTION", "1") != "0"
             and jax.default_backend() == "tpu"
@@ -80,17 +82,10 @@ def sdpa(
             and (lane_ok or full_block)
         ):
             implementation = "flash"
-    grouped = q.ndim == 4 and k.ndim == 4 and q.shape[1] != k.shape[1]
     if implementation == "flash":
-        import os as _os
-
         from .flash_attention import flash_attention, flash_attention_gqa
 
-        full_block_max = int(_os.environ.get("HICOM_FLASH_FULLBLOCK_MAX", "1024"))
-        if 0 < q.shape[-2] <= full_block_max and 0 < k.shape[-2] <= full_block_max:
-            blocks = dict(block_q=full_block_max, block_k=full_block_max)
-        else:
-            blocks = {}
+        blocks = dict(block_q=full_block_max, block_k=full_block_max) if fits_one_block else {}
         if grouped:
             assert mask is None, "flash GQA supports causal/length masks only"
             if _os.environ.get("HICOM_FLASH_GQA", "1") == "0":

@@ -16,9 +16,9 @@ run() {
   echo "$line" >&2
 }
 EXTRA=("$@")
-run baseline
+run baseline           # full-block flash incl. d=72 towers (default)
 run no_gqa_fold        HICOM_FLASH_GQA=0
 run fused_local        HICOM_FUSED_LOCAL=1
-run flash_d72          HICOM_FLASH_MIN_LANE=8
-run fused_local+d72    HICOM_FUSED_LOCAL=1 HICOM_FLASH_MIN_LANE=8
+run no_fullblock       HICOM_FLASH_FULLBLOCK_MAX=0              # d=72 -> einsum, d%64==0 -> 256-block flash
+run d72_256blocks      HICOM_FLASH_FULLBLOCK_MAX=0 HICOM_FLASH_MIN_LANE=8  # the known-bad multi-block d=72 config
 cat "$OUT"

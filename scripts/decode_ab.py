@@ -1,23 +1,15 @@
-import sys, os; sys.path.insert(0, __import__("os").path.join(__import__("os").path.dirname(__import__("os").path.abspath(__file__)), ".."))
+import os, sys; sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import jax, jax.numpy as jnp, numpy as np
-from hicom_tpu.config import HIComConfig, Qwen2Config, SiglipTextConfig, SiglipVisionConfig
+from bench import serving_config
 from hicom_tpu.models.hicom import HIComModel
 from hicom_tpu.models.qwen2 import KVCache
 from hicom_tpu.profiling import device_time
 
 CACHE_LEN = int(os.environ.get("AB_CACHE_LEN", "1024"))
 INT8 = os.environ.get("AB_INT8", "0") == "1"
+MODEL = os.environ.get("AB_MODEL", "1.5b")
 
-cfg = HIComConfig(
-    text_config=Qwen2Config(
-        vocab_size=151936, hidden_size=1536, intermediate_size=8960,
-        num_hidden_layers=28, num_attention_heads=12, num_key_value_heads=2,
-        head_dim=128, rope_theta=1000000.0, kv_cache_int8=INT8,
-    ),
-    vision_config=SiglipVisionConfig(), guide_text_config=SiglipTextConfig(),
-    mm_vision_tower="google/siglip-so400m-patch14-384",
-    mm_projector_type="local43_global32", use_guide="direct", dtype="bfloat16",
-)
+cfg = serving_config(MODEL, kv_cache_int8=INT8)
 model = HIComModel(config=cfg)
 rng = np.random.default_rng(0)
 from hicom_tpu.constants import VIDEO_TOKEN_INDEX
