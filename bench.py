@@ -146,6 +146,30 @@ def serving_config(model: str = "1.5b", frames: int = 32, **overrides):
     )
 
 
+
+def random_params_like(shapes):
+    """Random params matching an eval_shape tree, generated on-device in one
+    jitted program (never materializes an fp32 host tree; dtype-aware so int8/
+    uint8 quantized kernels get integer codes). Shared with scripts/decode_ab.py."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def make(key):
+        keys = jax.random.split(key, len(leaves))
+        vals = []
+        for k, s in zip(keys, leaves):
+            if s.dtype in (jnp.int8, jnp.uint8):  # quantized kernels/codes
+                vals.append(jax.random.randint(k, s.shape, -120, 120, jnp.int32).astype(s.dtype))
+            else:  # weights and (for quantized layers) f32 scales
+                vals.append(jax.random.normal(k, s.shape, jnp.bfloat16).astype(s.dtype) * 0.02)
+        return jax.tree_util.tree_unflatten(treedef, vals)
+
+    return make(jax.random.PRNGKey(0))
+
+
 def _run(args, flags):
     import jax
     import jax.numpy as jnp
@@ -180,20 +204,7 @@ def _run(args, flags):
         lambda r: model.init(r, init_ids, frames[:1, :1], guide_ids=gids[:1], modal="video")["params"],
         jax.random.PRNGKey(0),
     )
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
-
-    @jax.jit
-    def make_params(key):
-        keys = jax.random.split(key, len(leaves))
-        vals = []
-        for k, s in zip(keys, leaves):
-            if s.dtype in (jnp.int8, jnp.uint8):  # quantized kernels/codes
-                vals.append(jax.random.randint(k, s.shape, -120, 120, jnp.int32).astype(s.dtype))
-            else:  # weights and (for quantized layers) f32 scales
-                vals.append(jax.random.normal(k, s.shape, jnp.bfloat16).astype(s.dtype) * 0.02)
-        return jax.tree_util.tree_unflatten(treedef, vals)
-
-    params = make_params(jax.random.PRNGKey(0))
+    params = random_params_like(shapes)
 
     def pipeline(params, input_ids, frames, gids):
         def run(m):

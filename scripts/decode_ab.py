@@ -1,6 +1,6 @@
 import os, sys; sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import jax, jax.numpy as jnp, numpy as np
-from bench import serving_config
+from bench import random_params_like, serving_config
 from hicom_tpu.models.hicom import HIComModel
 from hicom_tpu.models.qwen2 import KVCache
 from hicom_tpu.profiling import device_time
@@ -17,12 +17,7 @@ ids = jnp.asarray(rng.integers(5, 1000, (1, 8))).at[0, 2].set(VIDEO_TOKEN_INDEX)
 fr = jnp.asarray(rng.standard_normal((1, 1, 3, 384, 384)), jnp.bfloat16)
 gids = jnp.asarray(rng.integers(1, 100, (1, 24)))
 shapes = jax.eval_shape(lambda r: model.init(r, ids, fr, guide_ids=gids, modal="video")["params"], jax.random.PRNGKey(0))
-leaves, treedef = jax.tree_util.tree_flatten(shapes)
-@jax.jit
-def mk(key):
-    ks = jax.random.split(key, len(leaves))
-    return jax.tree_util.tree_unflatten(treedef, [jax.random.normal(k, s.shape, jnp.bfloat16)*0.02 for k, s in zip(ks, leaves)])
-params = mk(jax.random.PRNGKey(0))
+params = random_params_like(shapes)
 tc = cfg.text_config
 b = 1
 cache = KVCache.zeros(tc.num_hidden_layers, b, tc.num_key_value_heads, CACHE_LEN, tc.head_dim, jnp.bfloat16, quantized=INT8)
