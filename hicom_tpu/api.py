@@ -260,6 +260,7 @@ def load_model(
     load_8bit: bool = False,
     load_4bit: bool = False,
     scan_layers: bool = False,
+    scan_towers: bool = False,
     kv_cache_int8: bool = False,
 ) -> "HICom":
     """Load a checkpoint directory into a device-resident HICom runtime."""
@@ -290,6 +291,18 @@ def load_model(
             scan_layers=scan_layers,
             kv_cache_int8=kv_cache_int8,
         ))
+    if scan_towers:
+        # one compiled encoder block (stacked layer params): ~num_layers-fold
+        # faster remote compiles, identical numerics. SigLIP towers only —
+        # the CLIP tower family keeps the unrolled layout.
+        import dataclasses as _dc
+
+        assert not hasattr(cfg.vision_config, "projection_dim"), \
+            "scan_towers supports the SigLIP tower family"
+        cfg = cfg.replace(
+            vision_config=_dc.replace(cfg.vision_config, scan_layers=True),
+            guide_text_config=_dc.replace(cfg.guide_text_config, scan_layers=True),
+        )
 
     spec = cfg.projector
     params: Dict[str, Any] = {}
@@ -346,6 +359,10 @@ def load_model(
     params["vision_tower"] = W.convert_clip_vision(tower_sd) if is_clip else W.convert_siglip_vision(tower_sd)
     if cfg.guide_enabled():
         params["guide_encoder"] = W.convert_clip_text(tower_sd) if is_clip else W.convert_siglip_text(tower_sd)
+    if scan_towers:
+        params["vision_tower"] = W.stack_encoder_layers(params["vision_tower"])
+        if cfg.guide_enabled():
+            params["guide_encoder"] = W.stack_encoder_layers(params["guide_encoder"])
     if proj_sd:
         params["mm_projector"] = W.convert_projector_state(proj_sd, spec.kind)
         use_cs = [s for s in (cfg.use_clip_scale or "").split(",") if s]

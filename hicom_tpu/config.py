@@ -36,6 +36,9 @@ class SiglipVisionConfig:
     layer_norm_eps: float = 1e-6
     hidden_act: str = "gelu_pytorch_tanh"
     remat: bool = False  # gradient-checkpoint encoder layers (train memory)
+    # one compiled block scanned over a stacked layer axis: cuts remote compile
+    # time ~num_layers-fold; identical numerics (tested)
+    scan_layers: bool = False
 
     @property
     def num_patches_per_side(self) -> int:
@@ -63,6 +66,7 @@ class SiglipTextConfig:
     layer_norm_eps: float = 1e-6
     hidden_act: str = "gelu_pytorch_tanh"
     projection_size: int = 1152
+    scan_layers: bool = False
 
     @property
     def head_dim(self) -> int:

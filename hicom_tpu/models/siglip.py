@@ -73,6 +73,29 @@ class SiglipEncoderLayer(nn.Module):
         return x + SiglipMLP(self.hidden_size, self.intermediate_size, dtype=self.dtype, name="mlp")(h)
 
 
+class SiglipEncoderLayerScanned(nn.Module):
+    """nn.scan body: carry = (hidden, tapped); xs = layer index (for the tap
+    select). Params stack on a leading layer axis under ``layers/layer`` —
+    same layout as the decoder's scan (weights.stack_encoder_layers)."""
+
+    hidden_size: int
+    intermediate_size: int
+    num_heads: int
+    eps: float
+    tap: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, i, mask):
+        x, tapped = carry
+        x = SiglipEncoderLayer(
+            self.hidden_size, self.intermediate_size, self.num_heads, self.eps,
+            dtype=self.dtype, name="layer",
+        )(x, mask)
+        tapped = jnp.where(i + 1 == self.tap, x, tapped)
+        return (x, tapped), None
+
+
 class SiglipEncoder(nn.Module):
     """Returns (final_hidden, tapped_hidden) where ``tap_layer`` uses the
     hidden_states indexing convention: hidden_states[i] is the input of block i,
@@ -85,13 +108,32 @@ class SiglipEncoder(nn.Module):
     eps: float
     tap_layer: int = -2
     remat: bool = False  # gradient-checkpoint each block (train memory)
+    scan_layers: bool = False  # one compiled block over stacked params
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Tuple[Array, Array]:
-        layer_cls = nn.remat(SiglipEncoderLayer) if self.remat else SiglipEncoderLayer
         # hidden_states list has num_layers+1 entries; resolve tap index.
         tap = self.tap_layer if self.tap_layer >= 0 else self.num_layers + 1 + self.tap_layer
+        assert 0 <= tap <= self.num_layers, f"tap layer {self.tap_layer} out of range"
+        if self.scan_layers:
+            scan_target = (
+                nn.remat(SiglipEncoderLayerScanned) if self.remat else SiglipEncoderLayerScanned
+            )
+            scanned = nn.scan(
+                scan_target,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(0, nn.broadcast),
+                out_axes=0,
+                length=self.num_layers,
+            )(self.hidden_size, self.intermediate_size, self.num_heads, self.eps,
+              tap, dtype=self.dtype, name="layers")
+            # tap==0 taps the embeddings; otherwise the where-select in the
+            # body overwrites this initial value at step tap-1
+            (final, tapped), _ = scanned((x, x), jnp.arange(self.num_layers), mask)
+            return final, tapped
+        layer_cls = nn.remat(SiglipEncoderLayer) if self.remat else SiglipEncoderLayer
         tapped = x if tap == 0 else None
         for i in range(self.num_layers):
             x = layer_cls(
@@ -145,6 +187,7 @@ class SiglipVisionTower(nn.Module):
             cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size,
             cfg.num_attention_heads, cfg.layer_norm_eps,
             tap_layer=self.select_layer, remat=getattr(cfg, "remat", False),
+            scan_layers=getattr(cfg, "scan_layers", False),
             dtype=self.dtype, name="encoder",
         )(x)
 
@@ -184,7 +227,8 @@ class SiglipTextEncoder(nn.Module):
         final, _ = SiglipEncoder(
             cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size,
             cfg.num_attention_heads, cfg.layer_norm_eps,
-            tap_layer=-1, dtype=self.dtype, name="encoder",
+            tap_layer=-1, scan_layers=getattr(cfg, "scan_layers", False),
+            dtype=self.dtype, name="encoder",
         )(x, pair_mask)
         last = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="final_layer_norm")(final)
         head = nn.Dense(cfg.projection_size, name="head", dtype=self.dtype)

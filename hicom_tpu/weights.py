@@ -258,19 +258,47 @@ def convert_clip_text(state_dict: Mapping[str, np.ndarray]) -> dict:
     return torch_to_flax_params(state_dict, rename)
 
 
+def _stack_layer_dict(container: dict) -> dict:
+    """Stack layers_i.* children of ``container`` into the nn.scan layout
+    (layers.layer.* with a leading layer axis)."""
+    import jax
+
+    out = dict(container)
+    layer_keys = sorted((k for k in out if re.fullmatch(r"layers_\d+", k)),
+                        key=lambda k: int(k.split("_")[1]))
+    layers = [out.pop(k) for k in layer_keys]
+    stacked = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *layers)
+    out["layers"] = {"layer": stacked}
+    return out
+
+
 def stack_decoder_layers(decoder_params: dict) -> dict:
     """Convert per-layer params (model.layers_i.*) to the nn.scan layout
     (model.layers.layer.* with a leading layer axis)."""
+    out = dict(decoder_params)
+    out["model"] = _stack_layer_dict(decoder_params["model"])
+    return out
+
+
+def stack_encoder_layers(tower_params: dict) -> dict:
+    """Same for SigLIP vision/text towers: encoder.layers_i.* →
+    encoder.layers.layer.* (scan_layers tower option)."""
+    out = dict(tower_params)
+    out["encoder"] = _stack_layer_dict(tower_params["encoder"])
+    return out
+
+
+def unstack_encoder_layers(tower_params: dict) -> dict:
+    """Inverse of :func:`stack_encoder_layers` (HF export)."""
     import jax
 
-    model = dict(decoder_params["model"])
-    layer_keys = sorted((k for k in model if re.fullmatch(r"layers_\d+", k)),
-                        key=lambda k: int(k.split("_")[1]))
-    layers = [model.pop(k) for k in layer_keys]
-    stacked = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *layers)
-    model["layers"] = {"layer": stacked}
-    out = dict(decoder_params)
-    out["model"] = model
+    enc = dict(tower_params["encoder"])
+    stacked = enc.pop("layers")["layer"]
+    n = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    for i in range(n):
+        enc[f"layers_{i}"] = jax.tree.map(lambda x: np.asarray(x)[i], stacked)
+    out = dict(tower_params)
+    out["encoder"] = enc
     return out
 
 

@@ -369,3 +369,51 @@ def test_flash_decode_matches_einsum_path(monkeypatch):
         got = run(quantized)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4,
                                    err_msg=f"quantized={quantized}")
+
+
+def test_siglip_scan_layers_parity():
+    """scan_layers towers: stacked-param scanned encoder == unrolled encoder
+    bit-for-bit (vision tap -2 incl. head, guide text pooled+fine)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from hicom_tpu.config import SiglipTextConfig, SiglipVisionConfig
+    from hicom_tpu.models.siglip import SiglipTextEncoder, SiglipVisionTower
+    from hicom_tpu.weights import stack_encoder_layers, unstack_encoder_layers
+
+    vcfg = SiglipVisionConfig(hidden_size=64, intermediate_size=96, num_hidden_layers=3,
+                              num_attention_heads=4, image_size=28, patch_size=14)
+    tower = SiglipVisionTower(config=vcfg, select_layer=-2)
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.standard_normal((2, 3, 28, 28)).astype(np.float32))
+    params = tower.init(jax.random.PRNGKey(0), px)["params"]
+    feats, embeds = tower.apply({"params": params}, px)
+
+    scfg = dataclasses.replace(vcfg, scan_layers=True)
+    stacked = stack_encoder_layers(params)
+    tower_s = SiglipVisionTower(config=scfg, select_layer=-2)
+    feats_s, embeds_s = tower_s.apply({"params": stacked}, px)
+    np.testing.assert_allclose(np.asarray(feats_s), np.asarray(feats), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(embeds_s), np.asarray(embeds), rtol=1e-6, atol=1e-6)
+
+    # round-trip for HF export
+    rt = unstack_encoder_layers(stacked)
+    for (pa, a), (pb, b) in zip(sorted(jax.tree_util.tree_leaves_with_path(params), key=lambda kv: str(kv[0])),
+                                sorted(jax.tree_util.tree_leaves_with_path(rt), key=lambda kv: str(kv[0]))):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    tcfg = SiglipTextConfig(hidden_size=64, intermediate_size=96, num_hidden_layers=3,
+                            num_attention_heads=4, vocab_size=64, max_position_embeddings=16,
+                            projection_size=64)
+    enc = SiglipTextEncoder(config=tcfg)
+    ids = jnp.asarray(rng.integers(0, 64, (2, 12)))
+    mask = jnp.asarray(rng.random((2, 12)) > 0.3).astype(np.int32)
+    tp = enc.init(jax.random.PRNGKey(1), ids, mask)["params"]
+    pooled, per_tok = enc.apply({"params": tp}, ids, mask)
+    enc_s = SiglipTextEncoder(config=dataclasses.replace(tcfg, scan_layers=True))
+    pooled_s, per_tok_s = enc_s.apply({"params": stack_encoder_layers(tp)}, ids, mask)
+    np.testing.assert_allclose(np.asarray(pooled_s), np.asarray(pooled), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(per_tok_s), np.asarray(per_tok), rtol=1e-6, atol=1e-6)
