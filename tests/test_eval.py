@@ -214,7 +214,7 @@ class _FakeJudgeClient:
         fake = self
 
         class _Completions:
-            def create(self, model, messages, temperature):
+            def create(self, model, messages, temperature, **kwargs):
                 fake.calls.append(messages)
                 content = fake.replies[len(fake.calls) - 1]
 
@@ -233,6 +233,36 @@ class _FakeJudgeClient:
             completions = _Completions()
 
         self.chat = _Chat()
+
+
+REF_JUDGE_FILES = {
+    "correctness": "eval_video_oqa_vcgpt_1_correctness.py",
+    "detailed_orientation": "eval_video_oqa_vcgpt_2_detailed_orientation.py",
+    "context": "eval_video_oqa_vcgpt_3_context.py",
+    "temporal": "eval_video_oqa_vcgpt_4_temporal.py",
+    "consistency": "eval_video_oqa_vcgpt_5_consistency.py",
+    "activitynet": "eval_video_oqa_activitynet.py",
+    "msvc_correctness": "eval_video_cap_msvc_correctness.py",
+    "msvc_detailedness": "eval_video_cap_msvc_detailedness.py",
+}
+
+
+@pytest.mark.parametrize("axis", sorted(REF_JUDGE_FILES))
+def test_gpt_judge_rubrics_verbatim(axis):
+    """The GPT-judge prompts must be the reference's text VERBATIM — scores
+    are prompt-sensitive, so the prompt IS the metric definition (reference
+    eval_video_oqa_vcgpt_1_correctness.py:50-76 et al.)."""
+    from judge_prompt_extract import extract_messages
+    from hicom_tpu.eval import gpt_judge
+
+    ref = extract_messages(REF_JUDGE_FILES[axis])
+    # Render ours with identity placeholder values so the {question}/{answer}/
+    # {pred} markers survive substitution and line up with the extractor's.
+    qa = {k: "{%s}" % k for k in
+          ("question", "answer", "pred", "question1", "question2", "pred1", "pred2")}
+    ours_sys, ours_user = gpt_judge.build_messages(axis, qa)
+    assert ours_sys["content"] == ref["system"]
+    assert ours_user["content"] == ref["user"]
 
 
 def test_gpt_judge_caching_and_aggregation(tmp_path, monkeypatch):
