@@ -93,6 +93,7 @@ class HICom:
         temperature: float = 0.2,
         top_p: float = 0.9,
         seed: int = 0,
+        stop_sequences: tuple = (),
     ) -> np.ndarray:
         import jax
         import jax.numpy as jnp
@@ -150,6 +151,7 @@ class HICom:
             eos_token_id=int(self.eos_token_id),
             cache_len=cache_len,
             has_frames=has_frames,
+            stop_sequences=tuple(stop_sequences),
         )
         return np.asarray(out)
 
@@ -259,6 +261,7 @@ def load_model(
     device: Optional[str] = None,
     load_8bit: bool = False,
     load_4bit: bool = False,
+    load_w8a8_tower: bool = False,
     scan_layers: bool = False,
     scan_towers: bool = False,
     kv_cache_int8: bool = False,
@@ -291,14 +294,26 @@ def load_model(
             scan_layers=scan_layers,
             kv_cache_int8=kv_cache_int8,
         ))
+    if load_w8a8_tower:
+        # frozen-tower int8 serving: activations and weights int8, int32 MXU
+        # accumulation — ~1.3× tower speedup on v5e (models/quant.py). SigLIP
+        # towers only.
+        import dataclasses as _dc
+
+        if hasattr(cfg.vision_config, "projection_dim"):
+            raise ValueError("load_w8a8_tower supports the SigLIP tower family")
+        cfg = cfg.replace(vision_config=_dc.replace(cfg.vision_config, quantization="w8a8"))
     if scan_towers:
         # one compiled encoder block (stacked layer params): ~num_layers-fold
         # faster remote compiles, identical numerics. SigLIP towers only —
         # the CLIP tower family keeps the unrolled layout.
         import dataclasses as _dc
 
-        assert not hasattr(cfg.vision_config, "projection_dim"), \
-            "scan_towers supports the SigLIP tower family"
+        if hasattr(cfg.vision_config, "projection_dim"):  # CLIP family
+            raise ValueError(
+                "scan_towers supports the SigLIP tower family; the CLIP tower "
+                "keeps the unrolled layout"
+            )
         cfg = cfg.replace(
             vision_config=_dc.replace(cfg.vision_config, scan_layers=True),
             guide_text_config=_dc.replace(cfg.guide_text_config, scan_layers=True),
@@ -357,6 +372,10 @@ def load_model(
     if scan_layers:
         params["language_model"] = W.stack_decoder_layers(params["language_model"])
     params["vision_tower"] = W.convert_clip_vision(tower_sd) if is_clip else W.convert_siglip_vision(tower_sd)
+    if load_w8a8_tower:
+        from .models.quant import quantize_tower_params
+
+        params["vision_tower"] = quantize_tower_params(params["vision_tower"])
     if cfg.guide_enabled():
         params["guide_encoder"] = W.convert_clip_text(tower_sd) if is_clip else W.convert_siglip_text(tower_sd)
     if scan_towers:
@@ -447,6 +466,16 @@ def _pad_to_bucket(ids, pad_id: int, bucket: int = 64):
     return out, mask
 
 
+def _trim_at_keywords(text: str, keywords) -> str:
+    """Cut ``text`` at the earliest occurrence of any stop keyword — the
+    post-decode counterpart of ``KeywordsStoppingCriteria``'s string
+    containment check (reference mm_utils.py:705-708)."""
+    for kw in keywords:
+        if kw and kw in text:
+            text = text.split(kw)[0]
+    return text.strip()
+
+
 def mm_infer_batch(
     tensors,
     instructs,
@@ -483,6 +512,9 @@ def mm_infer_batch(
         guide_ids = enc["input_ids"]
         guide_mask = enc.get("attention_mask")
 
+    from .models.generate import keyword_token_sequences
+
+    stop_strings = list(kwargs.get("stop_strings", ()))
     out = model.generate(
         ids, frames=frames, guide_ids=guide_ids, guide_mask=guide_mask,
         attention_mask=mask, modal=modal,
@@ -490,10 +522,11 @@ def mm_infer_batch(
         do_sample=kwargs.get("do_sample", False),
         temperature=kwargs.get("temperature", 0.2),
         top_p=kwargs.get("top_p", 0.9),
+        stop_sequences=keyword_token_sequences(stop_strings, tokenizer),
     )
     texts = tokenizer.batch_decode(out, skip_special_tokens=True)
     eos_str = tokenizer.decode([model.eos_token_id], skip_special_tokens=False)
-    return [t.split(eos_str)[0].strip() if eos_str and eos_str in t else t.strip() for t in texts]
+    return [_trim_at_keywords(t, [eos_str] + stop_strings) for t in texts]
 
 
 def mm_infer(
@@ -581,6 +614,9 @@ def mm_infer(
         visual_embeds = model.encode_anyres(frames[0], image_size, guide_ids, guide_mask)[None]
         frames = None
 
+    from .models.generate import keyword_token_sequences
+
+    stop_strings = list(kwargs.get("stop_strings", ()))
     out = model.generate(
         ids,
         frames=frames,
@@ -593,10 +629,11 @@ def mm_infer(
         do_sample=kwargs.get("do_sample", False),
         temperature=kwargs.get("temperature", 0.2),
         top_p=kwargs.get("top_p", 0.9),
+        stop_sequences=keyword_token_sequences(stop_strings, tokenizer),
     )
     text = tokenizer.batch_decode(out, skip_special_tokens=True)[0].strip()
-    # KeywordsStoppingCriteria parity: trim at the eos keyword if it survives decode
+    # KeywordsStoppingCriteria parity: trim at eos / stop keywords that
+    # survive decode (the reference's decoded-string containment check,
+    # mm_utils.py:705-708, applied post-hoc)
     eos_str = tokenizer.decode([model.eos_token_id], skip_special_tokens=False)
-    if eos_str and eos_str in text:
-        text = text.split(eos_str)[0].strip()
-    return text
+    return _trim_at_keywords(text, [eos_str] + stop_strings)

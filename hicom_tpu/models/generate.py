@@ -3,9 +3,17 @@
 Replaces the reference's HF ``GenerationMixin`` loop (Python-per-step) with a
 single compiled program: vision encoding + compression + prefill and the full
 decode loop run on-device; only the final token buffer returns to the host.
-Stopping matches ``KeywordsStoppingCriteria`` with ``keywords=[eos]``
-(``/root/reference/hicom/__init__.py:99-100``): generation ends at eos (the
-API layer additionally trims decoded keyword strings).
+
+Stopping matches ``KeywordsStoppingCriteria``
+(``/root/reference/hicom/mm_utils.py:684-715``): generation ends at eos, and
+additionally when the tail of the generated ids equals any keyword's token-id
+sequence (``stop_sequences``, a static tuple — the reference's
+``keyword_id`` match at ``mm_utils.py:702-704``). The reference's secondary
+decoded-string containment check (``mm_utils.py:705-708``) can't run inside a
+jitted loop; the API layer applies it as a post-decode trim, which yields the
+same returned text. One intentional divergence: the reference's token match
+can span the prompt/generation boundary during the first ``len(keyword)-1``
+steps; ours matches within generated tokens only.
 """
 
 from __future__ import annotations
@@ -36,9 +44,24 @@ def sample_token(logits: Array, rng, temperature: float, top_p: float) -> Array:
     return jax.random.categorical(rng, logits, axis=-1)
 
 
+def keyword_token_sequences(keywords, tokenizer) -> tuple:
+    """Tokenize stop keywords the way ``KeywordsStoppingCriteria.__init__``
+    does (``mm_utils.py:686-697``): plain ``tokenizer(kw).input_ids`` with a
+    leading bos stripped. Returns a hashable tuple-of-tuples for the jitted
+    loop's static ``stop_sequences`` argument."""
+    seqs = []
+    for kw in keywords:
+        ids = list(tokenizer(kw).input_ids)
+        if len(ids) > 1 and tokenizer.bos_token_id is not None and ids[0] == tokenizer.bos_token_id:
+            ids = ids[1:]
+        if ids:
+            seqs.append(tuple(int(i) for i in ids))
+    return tuple(seqs)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "modal", "max_new_tokens", "temperature", "top_p", "eos_token_id", "cache_len", "has_frames"),
+    static_argnames=("model", "modal", "max_new_tokens", "temperature", "top_p", "eos_token_id", "cache_len", "has_frames", "stop_sequences"),
 )
 def generate_tokens(
     variables,
@@ -58,6 +81,7 @@ def generate_tokens(
     eos_token_id: int = 0,
     cache_len: int = 4096,
     has_frames: bool = True,
+    stop_sequences: tuple = (),
 ) -> Array:
     """Returns (b, max_new_tokens) generated ids, eos-padded after stop."""
 
@@ -98,6 +122,9 @@ def generate_tokens(
         out = jnp.full((b, max_new_tokens), eos_token_id, dtype=jnp.int32)
         out = out.at[:, 0].set(first_tok.astype(jnp.int32))
         done = first_tok == eos_token_id
+        for seq in stop_sequences:  # single-token keywords can stop at step 0
+            if len(seq) == 1:
+                done = done | (first_tok == seq[0])
 
         def cond(state):
             step, _, _, done, _ = state
@@ -116,6 +143,13 @@ def generate_tokens(
             tok = jnp.where(done, eos_token_id, tok)
             out = out.at[:, step].set(tok)
             done = done | (tok == eos_token_id)
+            # keyword stop: tail of generated ids ending at `step` equals a
+            # keyword's token ids (unrolled over the small static set)
+            for seq in stop_sequences:
+                k = len(seq)
+                kw = jnp.asarray(seq, jnp.int32)
+                tail = jax.lax.dynamic_slice(out, (jnp.int32(0), step - (k - 1)), (b, k))
+                done = done | (jnp.all(tail == kw, axis=1) & (step + 1 >= k))
             return step + 1, cache, out, done, rng
 
         state = (jnp.int32(1), cache, out, done, loop_rng)

@@ -144,6 +144,48 @@ def test_generate_text_only():
     assert np.asarray(out).shape == (1, 3)
 
 
+def test_generate_keyword_stopping():
+    """``stop_sequences`` ends generation when the generated tail matches a
+    keyword's token ids (KeywordsStoppingCriteria, reference mm_utils.py:684-715)."""
+    cfg, model = make_model()
+    x = make_inputs(cfg, b=1, L=8, seed=3)
+    variables = model.init(jax.random.PRNGKey(0), x["input_ids"], x["frames"], modal="video")
+    params = {"params": variables["params"]}
+    eos = cfg.text_config.eos_token_id
+    kw = dict(model=model, modal="video", max_new_tokens=6, eos_token_id=eos,
+              cache_len=128, has_frames=True)
+
+    base = np.asarray(generate_tokens(params, x["input_ids"], x["frames"], None, None,
+                                      jax.random.PRNGKey(1), **kw))[0]
+    assert eos not in base[:3].tolist()  # need 3 real tokens to test against
+
+    # two-token keyword = generated tokens 1..2 → stop right after emitting them
+    seq = (int(base[1]), int(base[2]))
+    out = np.asarray(generate_tokens(params, x["input_ids"], x["frames"], None, None,
+                                     jax.random.PRNGKey(1), **kw, stop_sequences=(seq,)))[0]
+    assert out.tolist() == base[:3].tolist() + [eos] * (len(base) - 3)
+
+    # single-token keyword matching the first generated token stops at step 0
+    out0 = np.asarray(generate_tokens(params, x["input_ids"], x["frames"], None, None,
+                                      jax.random.PRNGKey(1), **kw,
+                                      stop_sequences=((int(base[0]),),)))[0]
+    assert out0.tolist() == [int(base[0])] + [eos] * (len(base) - 1)
+
+
+def test_keyword_token_sequences_strips_bos():
+    from hicom_tpu.models.generate import keyword_token_sequences
+
+    class Tok:
+        bos_token_id = 1
+
+        def __call__(self, s):
+            r = type("R", (), {})()
+            r.input_ids = {"</s>": [1, 2], "###": [1, 9, 9], "": []}[s]
+            return r
+
+    assert keyword_token_sequences(["</s>", "###", ""], Tok()) == ((2,), (9, 9))
+
+
 def test_generate_batched_right_padding_matches_single():
     """Rows of different prompt lengths in one right-padded batch must match
     per-row unpadded generation (cache validity bitmap correctness)."""
