@@ -1,0 +1,287 @@
+"""Closed-loop accuracy self-test: train → export → reload → eval → score.
+
+One command proves the full artifact chain the reference exercises across
+separate scripts (3-stage recipe ``scripts/qwen2.5_7B/release/
+directg_local43_global32.sh:36-211`` feeding ``scripts/eval/video/
+eval_video_mcqa_videomme.sh:14-79``): the trainer CLI produces a stage-1
+``mm_projector.bin`` and a stage-2 HF-layout SFT export, ``model_init``
+reloads that export from disk, the Video-MME runner drives real mp4 decode +
+MCQA prompting through the jitted generate path, and the reference-parity
+scorer emits accuracy.
+
+Everything is synthetic and tiny (2-layer towers/decoder, word-level
+tokenizer, generated mp4s) so it runs offline on CPU in minutes. The SFT data
+teaches a constant answer ("B"); the mini Video-MME ground truth is all "B",
+so a successful train→eval loop scores well above the 25% MCQA chance floor —
+a real accuracy signal, not just plumbing.
+
+Run: python -m hicom_tpu.selftest [--workdir DIR] [--epochs N]
+Prints one JSON line: {"videomme_accuracy": ..., "chance": 25.0, ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+VIS = dict(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+           num_attention_heads=4, image_size=56, patch_size=14)
+TXT = dict(hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+           num_attention_heads=4, vocab_size=99, max_position_embeddings=16,
+           projection_size=64)
+QWEN = dict(vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=256, rope_theta=10000.0,
+            tie_word_embeddings=False)
+
+WORDS = [
+    "describe", "the", "picture", "video", "a", "red", "cat", "dog", "number",
+    "<image>", "<video>", "what", "is", "in", "color", "how", "many", "?",
+    "A", "B", "C", "D", ".", ":", ",", "(", ")", "USER", "ASSISTANT",
+    "Select", "best", "answer", "to", "following", "multiple-choice",
+    "question", "based", "on", "Respond", "with", "only", "letter", "of",
+    "correct", "option", "Answer", "option's", "from", "given", "choices",
+    "directly", "and", "give", "The",
+]
+
+
+def _write_wordlevel_tokenizer(dirpath, words, chat_template=True):
+    from tokenizers import Tokenizer, models as tok_models, pre_tokenizers
+
+    vocab = {"<unk>": 0, "<pad>": 1, "</s>": 2}
+    for w in words:
+        if w not in vocab:
+            vocab[w] = len(vocab)
+    tk = Tokenizer(tok_models.WordLevel(vocab, unk_token="<unk>"))
+    tk.pre_tokenizer = pre_tokenizers.Whitespace()
+    tk.save(os.path.join(dirpath, "tokenizer.json"))
+    cfg = {"tokenizer_class": "PreTrainedTokenizerFast", "unk_token": "<unk>",
+           "pad_token": "<pad>", "eos_token": "</s>"}
+    if chat_template:
+        # vicuna-style: the assistant prefix must appear in BOTH the
+        # add_generation_prompt rendering and the full-turn rendering, or
+        # preprocess_chat's instruction-length masking swallows the answer
+        # tokens (everything becomes IGNORE and loss is identically 0)
+        cfg["chat_template"] = (
+            "{% for m in messages %}"
+            "{% if m['role'] == 'user' %}USER: {{ m['content'] }}\n"
+            "{% else %}ASSISTANT: {{ m['content'] }}\n{% endif %}"
+            "{% endfor %}"
+            "{% if add_generation_prompt %}ASSISTANT:{% endif %}"
+        )
+    with open(os.path.join(dirpath, "tokenizer_config.json"), "w") as f:
+        json.dump(cfg, f)
+
+
+def build_base_assets(root: str):
+    """Tiny HF base LLM + SigLIP tower directories (the inputs the reference's
+    stage-1 script downloads from the hub)."""
+    import torch
+    import transformers
+
+    llm_dir = os.path.join(root, "qwen_tiny")
+    tower_dir = os.path.join(root, "siglip_tiny")
+    os.makedirs(llm_dir, exist_ok=True)
+    torch.manual_seed(0)
+    transformers.Qwen2ForCausalLM(transformers.Qwen2Config(**QWEN)).save_pretrained(llm_dir)
+    _write_wordlevel_tokenizer(llm_dir, WORDS)
+    transformers.SiglipModel(
+        transformers.SiglipConfig(vision_config=VIS, text_config=TXT)
+    ).save_pretrained(tower_dir)
+    return llm_dir, tower_dir
+
+
+def _write_mp4(path: str, seed: int, frames: int = 12, size: int = 64):
+    import cv2
+    import numpy as np
+
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 25.0, (size, size))
+    assert vw.isOpened(), path
+    rng = np.random.default_rng(seed)
+    for _ in range(frames):
+        vw.write(rng.integers(0, 255, (size, size, 3), dtype=np.uint8))
+    vw.release()
+
+
+def build_train_data(root: str, n_images: int = 8, n_videos: int = 4):
+    """Image+video SFT mixture. Captions for stage 1; stage 2 additionally
+    teaches the constant MCQA answer "B" so the eval loop has learnable
+    signal."""
+    import numpy as np
+    from PIL import Image
+
+    media = os.path.join(root, "media")
+    os.makedirs(media, exist_ok=True)
+    cap_rows, sft_rows = [], []
+    for i in range(n_images):
+        name = f"img{i}.png"
+        Image.fromarray(
+            np.random.default_rng(i).integers(0, 255, (30, 40, 3), dtype=np.uint8)
+        ).save(os.path.join(media, name))
+        cap_rows.append({"image": name, "conversations": [
+            {"from": "human", "value": "<image> describe the picture"},
+            {"from": "gpt", "value": f"a red cat number {i % 4}"},
+        ]})
+        sft_rows.append({"image": name, "conversations": [
+            {"from": "human", "value": "<image> what color is the cat ? The best answer is:"},
+            {"from": "gpt", "value": "B"},
+        ]})
+    for i in range(n_videos):
+        name = f"vid{i}.mp4"
+        _write_mp4(os.path.join(media, name), seed=100 + i)
+        sft_rows.append({"video": name, "conversations": [
+            {"from": "human", "value": "<video> what is in the video ? The best answer is:"},
+            {"from": "gpt", "value": "B"},
+        ]})
+    cap_json = os.path.join(root, "pretrain.json")
+    sft_json = os.path.join(root, "sft.json")
+    with open(cap_json, "w") as f:
+        json.dump(cap_rows, f)
+    with open(sft_json, "w") as f:
+        json.dump(sft_rows, f)
+    return cap_json, sft_json, media
+
+
+def build_mini_videomme(root: str, n_videos: int = 2, q_per_video: int = 2):
+    """A miniature Video-MME shard: parquet questions (all ground truth "B"),
+    real mp4s keyed by youtube id, one srt (exercises subtitle alignment)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vids = os.path.join(root, "videos")
+    subs = os.path.join(root, "subs")
+    os.makedirs(vids, exist_ok=True)
+    os.makedirs(subs, exist_ok=True)
+    cols = {k: [] for k in ("video_id", "videoID", "url", "duration", "domain",
+                            "sub_category", "question_id", "task_type",
+                            "question", "options", "answer")}
+    for v in range(n_videos):
+        ytid = f"selftest{v:02d}"
+        _write_mp4(os.path.join(vids, f"{ytid}.mp4"), seed=200 + v, frames=24)
+        if v == 0:
+            with open(os.path.join(subs, f"{ytid}.srt"), "w") as f:
+                f.write("1\n00:00:00,000 --> 00:00:01,000\na red cat\n\n")
+        for q in range(q_per_video):
+            cols["video_id"].append(str(v + 1))
+            cols["videoID"].append(ytid)
+            cols["url"].append(f"https://www.youtube.com/watch?v={ytid}")
+            cols["duration"].append("short")
+            cols["domain"].append("Knowledge")
+            cols["sub_category"].append("Law")
+            cols["question_id"].append(f"{v + 1}-{q + 1}")
+            cols["task_type"].append("Action Recognition")
+            cols["question"].append("what color is the cat ?")
+            cols["options"].append(["A. red.", "B. blue.", "C. green.", "D. pink."])
+            cols["answer"].append("B")
+    qf = os.path.join(root, "videomme.parquet")
+    pq.write_table(pa.table(cols), qf)
+    return qf, vids, subs
+
+
+def run(workdir: str, epochs: float = 20.0, num_frames: int = 4,
+        n_questions_videos: int = 2) -> dict:
+    from .eval import scorers
+    from .eval.common import merge_chunked_videomme
+    from .eval.runner import main as runner_main
+    from .train.cli import main as train_main
+
+    os.makedirs(workdir, exist_ok=True)
+    llm_dir, tower_dir = build_base_assets(workdir)
+    cap_json, sft_json, media = build_train_data(workdir)
+
+    common = [
+        "--vision-tower", tower_dir,
+        "--mm-projector-type", "local43_global32",
+        "--data-folder", media,
+        "--num-frames", str(num_frames),
+        "--per-device-train-batch-size", "1",
+        "--dp", str(__import__("jax").device_count()), "--fsdp", "1", "--tp", "1",
+        "--dtype", "float32",
+        "--save-steps", "1000",
+        "--logging-steps", "20",
+        "--warmup-ratio", "0",
+    ]
+
+    # stage 1: projector alignment pretrain (reference stage "pretrain")
+    stage1 = os.path.join(workdir, "stage1")
+    train_main([
+        "--model-path", llm_dir,
+        "--mm-tunable-parts", "mm_projector",
+        "--is-pretraining",
+        "--data-path", cap_json,
+        "--learning-rate", "1e-3",
+        "--num-train-epochs", "2",
+        "--output-dir", stage1,
+    ] + common)
+    projector_bin = os.path.join(stage1, "mm_projector.bin")
+    assert os.path.exists(projector_bin), "stage 1 must export mm_projector.bin"
+
+    # stage 2: SFT from the stage-1 projector → HF-layout export
+    stage2 = os.path.join(workdir, "stage2")
+    train_main([
+        "--model-path", llm_dir,
+        "--mm-tunable-parts", "mm_projector,language_model",
+        "--pretrain-weights", projector_bin,
+        "--data-path", sft_json,
+        "--learning-rate", "1e-3",
+        "--num-train-epochs", str(epochs),
+        "--output-dir", stage2,
+    ] + common)
+    hf_export = os.path.join(stage2, "hf_export")
+    assert os.path.isdir(hf_export), "stage 2 must export an HF-layout checkpoint"
+
+    # eval: reload the export from disk and drive mini Video-MME end to end
+    qf, vids, subs = build_mini_videomme(workdir, n_videos=n_questions_videos)
+    answer_file = os.path.join(workdir, "eval", "preds.json")
+    runner_main([
+        "--benchmark", "videomme",
+        "--model-path", hf_export,
+        "--question-file", qf,
+        "--video-folder", vids,
+        "--subtitle-folder", subs,
+        "--answer-file", answer_file,
+        "--dtype", "float32",
+        "--max-new-tokens", "4",
+    ])
+
+    results = merge_chunked_videomme([answer_file])
+    report = scorers.score_videomme(results, ["short"], skip_missing=True)
+    overall = report["overall"]  # 0-100 accuracy over answered questions
+    out = {
+        "videomme_accuracy": overall,
+        "chance": 25.0,
+        "n_questions": sum(len(r["questions"]) for r in results),
+        "artifacts": {"mm_projector_bin": projector_bin, "hf_export": hf_export,
+                      "answer_file": answer_file},
+        "report": report,
+    }
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--workdir", default=None, help="default: a fresh temp dir")
+    p.add_argument("--epochs", type=float, default=20.0, help="stage-2 SFT epochs")
+    p.add_argument("--num-frames", type=int, default=4)
+    args = p.parse_args(argv)
+    workdir = args.workdir
+    if workdir is None:
+        import tempfile
+
+        workdir = tempfile.mkdtemp(prefix="hicom_selftest_")
+    out = run(workdir, epochs=args.epochs, num_frames=args.num_frames)
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    # jit-compile on CPU: the loop is tiny and the chip adds only remote
+    # compile latency here (the real-chip path is exercised by bench.py)
+    import jax
+
+    if jax.default_backend() != "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    sys.exit(0 if main() else 1)
