@@ -196,6 +196,40 @@ def quantize_decoder_params(lm_params: dict, mode: str = "int8") -> dict:
     return walk(lm_params)
 
 
+def dequantize_decoder_params(lm_params: dict, dtype=jnp.bfloat16) -> dict:
+    """Traced inverse of :func:`quantize_decoder_params`: rebuild fp ``kernel``
+    leaves from int8/NF4 storage inside a jitted program.
+
+    This is the QLoRA compute path (reference ``train.py:567-587`` kbit prep):
+    weights rest in HBM quantized; the fp kernels exist only transiently at
+    matmul time (and are re-derived in backward under ``remat`` instead of
+    kept alive), so training memory stays at the 4/8-bit footprint plus
+    adapters and their optimizer state."""
+
+    def walk(tree):
+        if not isinstance(tree, dict):
+            return tree
+        if "kernel_q" in tree:  # int8: per-output-channel absmax
+            k = tree["kernel_q"].astype(dtype) * tree["kernel_scale"].astype(dtype)[None, :]
+            out = {"kernel": k}
+        elif "kernel_nf4" in tree:  # packed codebook indices + group scales
+            packed, scale = tree["kernel_nf4"], tree["kernel_scale"]
+            in_dim = packed.shape[0] * 2
+            lo = (packed & 0xF).astype(jnp.int32)
+            hi = (packed >> 4).astype(jnp.int32)
+            codes = jnp.stack([lo, hi], axis=1).reshape(in_dim, packed.shape[1])
+            book = jnp.asarray(NF4_CODEBOOK, dtype)
+            k = book[codes] * jnp.repeat(scale.astype(dtype), NF4_GROUP, axis=0)[:in_dim]
+            out = {"kernel": k}
+        else:
+            return {kk: walk(vv) for kk, vv in tree.items()}
+        if "bias" in tree:
+            out["bias"] = tree["bias"]
+        return out
+
+    return walk(lm_params)
+
+
 class RMSNorm(nn.Module):
     eps: float = 1e-6
     dtype: Any = jnp.float32

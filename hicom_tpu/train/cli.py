@@ -70,6 +70,14 @@ def build_parser():
     p.add_argument("--lora-enable", action="store_true")
     p.add_argument("--lora-r", type=int, default=128)
     p.add_argument("--lora-alpha", type=int, default=256)
+    p.add_argument("--offload-optimizer", action="store_true",
+                   help="rest Adam moments in host memory (pinned_host), "
+                        "streamed per step — ZeRO-offload analogue "
+                        "(reference scripts/zero3_offload.json)")
+    p.add_argument("--bits", type=int, default=16, choices=(4, 8, 16),
+                   help="QLoRA: store the frozen decoder base in NF4 (4) or "
+                        "int8 (8); requires --lora-enable (reference "
+                        "train.py:567-587 kbit prep + LoRA)")
     # io
     p.add_argument("--output-dir", required=True)
     p.add_argument("--save-steps", type=int, default=500)
@@ -108,6 +116,9 @@ def main(argv=None):
     if args.lora_enable and args.scan_layers:
         raise SystemExit("--lora-enable targets per-layer 2-D kernels; "
                          "incompatible with --scan-layers (stacked 3-D params)")
+    if args.bits != 16 and not args.lora_enable:
+        raise SystemExit("--bits 4/8 is QLoRA (frozen quantized base + LoRA "
+                         "adapters); pass --lora-enable")
     os.makedirs(args.output_dir, exist_ok=True)
     # ---- config ----
     with open(os.path.join(args.model_path, "config.json")) as f:
@@ -221,7 +232,7 @@ def main(argv=None):
         state, shardings = create_sharded_state(
             model, optimizer, mesh,
             {k: jnp.asarray(v) for k, v in init_batch.items() if not isinstance(v, (str, bool))},
-            rng, modal=modal,
+            rng, modal=modal, offload_optimizer=args.offload_optimizer,
         )
 
         # ---- load pretrained weights into the fresh state ----
@@ -267,13 +278,35 @@ def main(argv=None):
                                                  args.lr_scheduler_type), weight_decay=args.weight_decay)
             lora_step_fns: dict = {}
 
+            if args.bits != 16:
+                from ..models.qwen2 import dequantize_decoder_params, quantize_decoder_params
+
+                qmode = "nf4" if args.bits == 4 else "int8"
+                lm_host = jax.device_get(dict(base_params)["language_model"])
+                q_lm = jax.tree.map(jnp.asarray, quantize_decoder_params(lm_host, qmode))
+                frozen_rest = {k: v for k, v in dict(base_params).items() if k != "language_model"}
+                qdt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+                del lm_host, state, base_params  # free the fp decoder
+
+            def wrap_lora_loss(base_loss_fn):
+                if args.bits == 16:
+                    return make_lora_loss_fn(base_loss_fn, base_params,
+                                             alpha=args.lora_alpha, rank=args.lora_r)
+                from .lora import apply_lora
+
+                def loss_fn(lora, batch):
+                    fp = {**frozen_rest,
+                          "language_model": dequantize_decoder_params(q_lm, qdt)}
+                    return base_loss_fn(apply_lora(fp, lora, args.lora_alpha, args.lora_r), batch)
+
+                return loss_fn
+
             def get_lora_step_fn(batch):
                 key = (batch.get("modal", modal), bool(batch.get("multi_image", False)),
                        "frames" in batch)
                 if key not in lora_step_fns:
-                    loss_fn = make_lora_loss_fn(
-                        make_loss_fn(model, key[0], has_frames=key[2], multi_image=key[1]),
-                        base_params, alpha=args.lora_alpha, rank=args.lora_r)
+                    loss_fn = wrap_lora_loss(
+                        make_loss_fn(model, key[0], has_frames=key[2], multi_image=key[1]))
 
                     def lora_step(carry, batch, loss_fn=loss_fn):
                         lora, opt_state, step_count = carry
@@ -298,7 +331,12 @@ def main(argv=None):
                     carry, metrics = get_lora_step_fn(batch)(carry, make_global_batch(jbatch, mesh))
                     step += 1
                     if step % args.logging_steps == 0:
-                        print(f"[lora] step {step}/{total_steps} loss {float(metrics['loss']):.4f}")
+                        loss = float(metrics["loss"])
+                        print(f"[lora] step {step}/{total_steps} loss {loss:.4f}")
+                        if proc_idx == 0:
+                            with open(os.path.join(args.output_dir, "metrics.jsonl"), "a") as mf:
+                                mf.write(json.dumps({"step": step, "loss": loss,
+                                                     "time": time.time()}) + "\n")
                     if step >= total_steps:
                         break
                 if not advanced:
@@ -320,10 +358,16 @@ def main(argv=None):
             key = (batch.get("modal", modal), bool(batch.get("multi_image", False)),
                    "frames" in batch)
             if key not in step_fns:
+                # explicit out_shardings keep the updated optimizer state in
+                # its creation-time memory kind (pinned_host under
+                # --offload-optimizer); otherwise jit may infer device memory
+                jit_kw = dict(donate_argnums=0)
+                if args.offload_optimizer:
+                    jit_kw["out_shardings"] = (shardings, None)
                 step_fns[key] = jax.jit(
                     make_train_step(model, optimizer, modal=key[0],
                                     has_frames=key[2], multi_image=key[1]),
-                    donate_argnums=0)
+                    **jit_kw)
             return step_fns[key]
 
         t0 = time.time()

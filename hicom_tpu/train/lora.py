@@ -98,6 +98,45 @@ def make_lora_loss_fn(base_loss_fn: Callable, params: Any, alpha: float = 16.0, 
     return loss_fn
 
 
+def estimate_qlora_memory(text_config, bits: int = 4, rank: int = 64,
+                          batch_tokens: int = 4096) -> Dict[str, float]:
+    """Analytic HBM footprint (GiB) of QLoRA training at given decoder dims —
+    the sizing check the reference delegates to bitsandbytes empirically
+    (``train.py:567-587``). Returns a breakdown; "total" is the at-rest
+    figure (weights + adapters + Adam moments + embeds/lm_head bf16), to
+    which activations (bounded by remat to ~one layer) are added."""
+    tc = text_config
+    d, ff = tc.hidden_size, tc.intermediate_size
+    kv = tc.num_key_value_heads * tc.head_dim
+    q = tc.num_attention_heads * tc.head_dim
+    per_layer = d * q + 2 * d * kv + q * d + 3 * d * ff  # attn + swiglu linears
+    linear_params = tc.num_hidden_layers * per_layer
+    embed_params = tc.vocab_size * d * (1 if tc.tie_word_embeddings else 2)
+
+    wbytes = linear_params * (0.5 if bits == 4 else 1)
+    if bits == 4:
+        wbytes += linear_params / 64 * 4  # per-64-group f32 scales
+    else:
+        wbytes += tc.num_hidden_layers * (q + 2 * kv + d + 3 * ff) * 4  # per-col scales
+    n_targets = tc.num_hidden_layers * 7
+    lora_params = sum(
+        rank * (din + dout)
+        for din, dout in [(d, q), (d, kv), (d, kv), (q, d), (d, ff), (d, ff), (ff, d)]
+    ) * tc.num_hidden_layers
+    abytes = lora_params * 4          # f32 adapters
+    obytes = lora_params * 8          # Adam m+v
+    ebytes = embed_params * 2         # bf16 embeds + lm_head (frozen)
+    # activations: remat bounds live activations to ~one layer's worth
+    # (hidden + q/k/v + ff intermediates) per microbatch token
+    act = batch_tokens * (4 * d + 2 * ff) * 2
+    gib = 1024 ** 3
+    out = {"weights_gib": wbytes / gib, "adapters_gib": abytes / gib,
+           "optimizer_gib": obytes / gib, "embeds_gib": ebytes / gib,
+           "activations_gib": act / gib, "n_lora_targets": n_targets}
+    out["total_gib"] = sum(v for k, v in out.items() if k.endswith("_gib"))
+    return out
+
+
 def export_peft_adapter(lora: Dict[str, Dict[str, jnp.ndarray]], path: str, alpha: float = 16.0, rank: int = 8):
     """Write peft-layout adapter weights: ``base_model.model.<torch path>.
     lora_A.weight`` (r, in) / ``lora_B.weight`` (out, r) fp32 + config json."""

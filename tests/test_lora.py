@@ -75,6 +75,82 @@ def test_lora_identity_at_init_and_trains(setup):
     assert losses[-1] < losses[0], losses
 
 
+def test_dequantize_decoder_roundtrip(setup):
+    """quantize → traced dequantize reproduces fp kernels within quant error
+    (int8 per-column; NF4 per-64-group codebook)."""
+    from hicom_tpu.models.qwen2 import dequantize_decoder_params, quantize_decoder_params
+
+    _, _, params, _ = setup
+    lm = jax.device_get(params["language_model"])
+    for mode, tol in (("int8", 0.02), ("nf4", 0.2)):
+        q = quantize_decoder_params(lm, mode)
+        deq = jax.jit(lambda t: dequantize_decoder_params(t, jnp.float32))(
+            jax.tree.map(jnp.asarray, q))
+
+        def compare(a, b):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max() + 1e-8
+            assert np.abs(a - b).max() / scale < tol, (mode, np.abs(a - b).max(), scale)
+
+        flat_fp = jax.tree_util.tree_leaves_with_path(lm)
+        flat_dq = dict(jax.tree_util.tree_leaves_with_path(deq))
+        n_kernels = 0
+        for path, leaf in flat_fp:
+            if path in flat_dq and getattr(leaf, "ndim", 0) == 2 and "kernel" in str(path[-1]):
+                compare(leaf, flat_dq[path])
+                n_kernels += 1
+        assert n_kernels > 0
+
+
+def test_qlora_loss_decreases(setup):
+    """QLoRA: frozen int8 base dequantized at trace time + LoRA adapters —
+    identity at init (up to quantization error) and loss decreases training
+    only the adapters (reference train.py:567-635)."""
+    from hicom_tpu.models.qwen2 import dequantize_decoder_params, quantize_decoder_params
+
+    cfg, model, params, batch = setup
+    lora = init_lora_params(params, rank=4)
+    base_loss = make_loss_fn(model, modal="video")
+
+    q_lm = jax.tree.map(jnp.asarray,
+                        quantize_decoder_params(jax.device_get(params["language_model"]), "int8"))
+    frozen_rest = {k: v for k, v in params.items() if k != "language_model"}
+
+    def loss_fn(lora, batch):
+        fp = {**frozen_rest, "language_model": dequantize_decoder_params(q_lm, jnp.float32)}
+        return base_loss(apply_lora(fp, lora, 16, 4), batch)
+
+    tx = optax.adam(5e-3)
+    opt_state = tx.init(lora)
+
+    @jax.jit
+    def step(lora, opt_state, batch):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(lora, batch)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(lora, updates), opt_state, loss
+
+    losses = []
+    for _ in range(4):
+        lora, opt_state, loss = step(lora, opt_state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+
+
+def test_qlora_memory_7b_fits_16gb():
+    """Flagship Qwen2.5-7B dims with NF4 base + rank-64 adapters must fit one
+    16GB v5e chip — the capability the reference needs an 80GB A100 for."""
+    from hicom_tpu.config import Qwen2Config
+    from hicom_tpu.train.lora import estimate_qlora_memory
+
+    tc = Qwen2Config(vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+                     num_hidden_layers=28, num_attention_heads=28, num_key_value_heads=4,
+                     head_dim=128, rope_theta=1000000.0)
+    est = estimate_qlora_memory(tc, bits=4, rank=64, batch_tokens=4096)
+    assert est["total_gib"] < 12.0, est  # headroom under 16GB for runtime buffers
+    est8 = estimate_qlora_memory(tc, bits=8, rank=64)
+    assert est8["total_gib"] < 14.0, est8
+
+
 def test_peft_adapter_roundtrip(setup, tmp_path):
     _, _, params, _ = setup
     rng = jax.random.PRNGKey(1)

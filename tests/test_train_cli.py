@@ -116,6 +116,46 @@ def test_train_cli_two_stage(setup):
     assert os.path.isdir(os.path.join(out2, "checkpoints"))
 
 
+def test_train_cli_qlora(setup):
+    """--bits 4 + --lora-enable: NF4-frozen base, adapter-only training
+    (reference train.py:567-587 kbit prep + 606-635 LoRA-over-quantized)."""
+    import json as _json
+    import os
+
+    from hicom_tpu.train.cli import main
+
+    out = str(setup["root"] / "qlora")
+    main([
+        "--model-path", setup["llm"],
+        "--vision-tower", setup["tower"],
+        "--mm-projector-type", "local43_global32",
+        "--mm-tunable-parts", "language_model",
+        "--lora-enable", "--lora-r", "4", "--lora-alpha", "8", "--bits", "4",
+        "--data-path", setup["data"],
+        "--data-folder", setup["imgs"],
+        "--learning-rate", "1e-2",
+        "--num-train-epochs", "2",
+        "--per-device-train-batch-size", "1",
+        "--dp", "8", "--fsdp", "1", "--tp", "1",
+        "--output-dir", out,
+        "--dtype", "float32",
+        "--logging-steps", "1",
+        "--warmup-ratio", "0",
+    ])
+    assert os.path.exists(os.path.join(out, "adapter_model.bin"))
+    rows = [_json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    assert rows[-1]["loss"] < rows[0]["loss"], [r["loss"] for r in rows]
+
+
+def test_train_cli_bits_requires_lora():
+    import pytest as _pytest
+
+    from hicom_tpu.train.cli import main
+
+    with _pytest.raises(SystemExit):
+        main(["--model-path", "x", "--data-path", "y", "--output-dir", "z", "--bits", "4"])
+
+
 def test_train_cli_lora(setup):
     import os
 
