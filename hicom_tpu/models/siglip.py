@@ -33,11 +33,14 @@ Array = jnp.ndarray
 class SiglipAttention(nn.Module):
     hidden_size: int
     num_heads: int
+    quantized: Optional[str] = None  # None | "w8a8" (frozen-tower serving)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
-        dense = lambda name: nn.Dense(self.hidden_size, name=name, dtype=self.dtype)  # noqa: E731
+        from .quant import make_tower_dense
+
+        dense = lambda name: make_tower_dense(self.quantized, self.hidden_size, name, self.dtype)  # noqa: E731
         q = dense("q_proj")(x)
         k = dense("k_proj")(x)
         v = dense("v_proj")(x)
@@ -49,13 +52,16 @@ class SiglipAttention(nn.Module):
 class SiglipMLP(nn.Module):
     hidden_size: int
     intermediate_size: int
+    quantized: Optional[str] = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = nn.Dense(self.intermediate_size, name="fc1", dtype=self.dtype)(x)
+        from .quant import make_tower_dense
+
+        x = make_tower_dense(self.quantized, self.intermediate_size, "fc1", self.dtype)(x)
         x = gelu_tanh(x)
-        return nn.Dense(self.hidden_size, name="fc2", dtype=self.dtype)(x)
+        return make_tower_dense(self.quantized, self.hidden_size, "fc2", self.dtype)(x)
 
 
 class SiglipEncoderLayer(nn.Module):
@@ -63,14 +69,17 @@ class SiglipEncoderLayer(nn.Module):
     intermediate_size: int
     num_heads: int
     eps: float
+    quantized: Optional[str] = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
         h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm1")(x)
-        x = x + SiglipAttention(self.hidden_size, self.num_heads, dtype=self.dtype, name="self_attn")(h, mask)
+        x = x + SiglipAttention(self.hidden_size, self.num_heads, quantized=self.quantized,
+                                dtype=self.dtype, name="self_attn")(h, mask)
         h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm2")(x)
-        return x + SiglipMLP(self.hidden_size, self.intermediate_size, dtype=self.dtype, name="mlp")(h)
+        return x + SiglipMLP(self.hidden_size, self.intermediate_size, quantized=self.quantized,
+                             dtype=self.dtype, name="mlp")(h)
 
 
 class SiglipEncoderLayerScanned(nn.Module):
@@ -83,6 +92,8 @@ class SiglipEncoderLayerScanned(nn.Module):
     num_heads: int
     eps: float
     tap: int
+    constrain_batch: bool = False
+    quantized: Optional[str] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -90,8 +101,12 @@ class SiglipEncoderLayerScanned(nn.Module):
         x, tapped = carry
         x = SiglipEncoderLayer(
             self.hidden_size, self.intermediate_size, self.num_heads, self.eps,
-            dtype=self.dtype, name="layer",
+            quantized=self.quantized, dtype=self.dtype, name="layer",
         )(x, mask)
+        if self.constrain_batch:
+            from ..parallel.sharding import constrain_batch_activation
+
+            x = constrain_batch_activation(x)
         tapped = jnp.where(i + 1 == self.tap, x, tapped)
         return (x, tapped), None
 
@@ -109,6 +124,8 @@ class SiglipEncoder(nn.Module):
     tap_layer: int = -2
     remat: bool = False  # gradient-checkpoint each block (train memory)
     scan_layers: bool = False  # one compiled block over stacked params
+    constrain_batch: bool = False  # pin (b, …) activations to (dp, fsdp)
+    quantized: Optional[str] = None  # None | "w8a8" (frozen tower serving)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -116,6 +133,10 @@ class SiglipEncoder(nn.Module):
         # hidden_states list has num_layers+1 entries; resolve tap index.
         tap = self.tap_layer if self.tap_layer >= 0 else self.num_layers + 1 + self.tap_layer
         assert 0 <= tap <= self.num_layers, f"tap layer {self.tap_layer} out of range"
+        if self.constrain_batch:
+            from ..parallel.sharding import constrain_batch_activation
+
+            x = constrain_batch_activation(x)
         if self.scan_layers:
             scan_target = (
                 nn.remat(SiglipEncoderLayerScanned) if self.remat else SiglipEncoderLayerScanned
@@ -128,7 +149,8 @@ class SiglipEncoder(nn.Module):
                 out_axes=0,
                 length=self.num_layers,
             )(self.hidden_size, self.intermediate_size, self.num_heads, self.eps,
-              tap, dtype=self.dtype, name="layers")
+              tap, constrain_batch=self.constrain_batch, quantized=self.quantized,
+              dtype=self.dtype, name="layers")
             # tap==0 taps the embeddings; otherwise the where-select in the
             # body overwrites this initial value at step tap-1
             (final, tapped), _ = scanned((x, x), jnp.arange(self.num_layers), mask)
@@ -138,8 +160,12 @@ class SiglipEncoder(nn.Module):
         for i in range(self.num_layers):
             x = layer_cls(
                 self.hidden_size, self.intermediate_size, self.num_heads, self.eps,
-                dtype=self.dtype, name=f"layers_{i}",
+                quantized=self.quantized, dtype=self.dtype, name=f"layers_{i}",
             )(x, mask)
+            if self.constrain_batch:
+                from ..parallel.sharding import constrain_batch_activation
+
+                x = constrain_batch_activation(x)
             if i + 1 == tap:
                 tapped = x
         assert tapped is not None, f"tap layer {self.tap_layer} out of range"
@@ -188,6 +214,7 @@ class SiglipVisionTower(nn.Module):
             cfg.num_attention_heads, cfg.layer_norm_eps,
             tap_layer=self.select_layer, remat=getattr(cfg, "remat", False),
             scan_layers=getattr(cfg, "scan_layers", False),
+            quantized=getattr(cfg, "quantization", None),
             dtype=self.dtype, name="encoder",
         )(x)
 
@@ -228,6 +255,7 @@ class SiglipTextEncoder(nn.Module):
             cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size,
             cfg.num_attention_heads, cfg.layer_norm_eps,
             tap_layer=-1, scan_layers=getattr(cfg, "scan_layers", False),
+            constrain_batch=True,  # see constrain_batch_activation (SPMD remat fix)
             dtype=self.dtype, name="encoder",
         )(x, pair_mask)
         last = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="final_layer_norm")(final)

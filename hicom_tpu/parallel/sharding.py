@@ -34,7 +34,11 @@ DEFAULT_RULES: List[Tuple[str, P]] = [
     # --- vision tower / guide encoder: fsdp-shard the big matrices ---
     (r"(vision_tower|guide_encoder)/.*(q_proj|k_proj|v_proj|fc1)/kernel$", P("fsdp", "tp")),
     (r"(vision_tower|guide_encoder)/.*(out_proj|fc2)/kernel$", P("tp", "fsdp")),
-    (r"(vision_tower|guide_encoder)/.*embedding$", P(None, "fsdp")),
+    # tower embeddings replicate: d-sharding the table makes the token gather
+    # emit d-sharded activations that collide with the batch-sharded layers
+    # (XLA "involuntary full rematerialization" per layer, fwd + bwd); the
+    # tables are small (≤ tens of MB) so replication is the right trade
+    (r"(vision_tower|guide_encoder)/.*embedding$", P()),
     (r"(vision_tower|guide_encoder)/.*head/kernel$", P("fsdp", None)),
     # --- projector: small; shard readout rows on fsdp ---
     (r"mm_projector/.*kernel$", P("fsdp", None)),
@@ -94,6 +98,61 @@ def param_shardings(params: Any, mesh: Mesh, rules=None) -> Any:
         return NamedSharding(mesh, spec_for_path(path, shape, mesh, rules))
 
     return jax.tree_util.tree_map_with_path(one, params)
+
+
+_HOST_OFFLOAD_OK: Optional[bool] = None
+
+
+def supports_host_offload() -> bool:
+    """True when the backend can compile computations whose inputs/outputs
+    live in ``pinned_host`` memory (TPU/GPU XLA memory-placement pass; the CPU
+    backend lacks the annotate_device_placement lowering)."""
+    global _HOST_OFFLOAD_OK
+    if _HOST_OFFLOAD_OK is None:
+        try:
+            dev = jax.devices()[0]
+            mesh = Mesh([dev], ("probe",))
+            host = NamedSharding(mesh, P(), memory_kind="pinned_host")
+            x = jax.device_put(jax.numpy.ones((8,)), host)
+            jax.jit(lambda v: v * 2, in_shardings=host, out_shardings=host)(x)
+            _HOST_OFFLOAD_OK = True
+        except Exception:
+            _HOST_OFFLOAD_OK = False
+    return _HOST_OFFLOAD_OK
+
+
+def host_offload_shardings(shardings: Any) -> Any:
+    """Map every NamedSharding leaf to ``pinned_host`` memory — used on the
+    optimizer-state subtree for ZeRO-offload-style training (the TPU-native
+    analogue of the reference's ``scripts/zero3_offload.json``: Adam moments
+    rest in host RAM; XLA streams them across PCIe around each update)."""
+    return jax.tree.map(
+        lambda s: s.with_memory_kind("pinned_host") if isinstance(s, NamedSharding) else s,
+        shardings,
+    )
+
+
+def constrain_batch_activation(x):
+    """``with_sharding_constraint`` pinning an activation's leading batch axis
+    to (dp, fsdp) and replicating the rest — a no-op outside a mesh context
+    (single-device tests/eval) or when the batch doesn't divide.
+
+    Used on the guide-encoder hidden states: without it XLA's backward pass
+    picks a conflicting layout and falls into "involuntary full
+    rematerialization" (replicate-then-reshard) per layer — wasted HBM + ICI
+    (observed in MULTICHIP_r01 dryrun on ``guide_encoder/.../layer_norm1``)."""
+    try:
+        from jax.interpreters import pxla
+
+        mesh = pxla.thread_resources.env.physical_mesh
+        if mesh.empty or "dp" not in mesh.shape or "fsdp" not in mesh.shape:
+            return x
+        spec = P(("dp", "fsdp"))
+        if not _spec_fits(spec, x.shape, mesh):
+            return x
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+    except Exception:
+        return x
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

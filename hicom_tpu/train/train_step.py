@@ -71,12 +71,18 @@ def make_train_step(model, optimizer, modal: str = "video", has_frames: bool = T
     return train_step
 
 
-def create_sharded_state(model, optimizer, mesh, init_batch, rng, modal="video"):
+def create_sharded_state(model, optimizer, mesh, init_batch, rng, modal="video",
+                         offload_optimizer: bool = False):
     """Initialize TrainState with params/opt-state sharded per the mesh rules.
 
     Shapes are derived with eval_shape, shardings from the rules (opt-state
     moments inherit their param's sharding because their tree paths contain the
     param path), then init runs jitted straight into sharded buffers.
+
+    ``offload_optimizer`` rests the optimizer state in ``pinned_host`` memory
+    (ZeRO-offload analogue of the reference's ``scripts/zero3_offload.json``);
+    XLA streams the moments host↔device around each update. Silently falls
+    back on backends without memory-placement support (CPU tests).
     """
 
     def create(rng):
@@ -95,6 +101,20 @@ def create_sharded_state(model, optimizer, mesh, init_batch, rng, modal="video")
 
     shapes = jax.eval_shape(create, rng)
     shardings = param_shardings(shapes, mesh)
+    if offload_optimizer:
+        from ..parallel.sharding import host_offload_shardings, supports_host_offload
+
+        if supports_host_offload():
+            shardings = TrainState(
+                shardings.params,
+                host_offload_shardings(shardings.opt_state),
+                shardings.step,
+            )
+        else:
+            import sys
+
+            print("offload-optimizer: backend lacks pinned_host placement; "
+                  "keeping optimizer state on device", file=sys.stderr)
     state = jax.jit(create, out_shardings=shardings)(rng)
     return state, shardings
 

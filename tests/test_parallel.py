@@ -64,6 +64,37 @@ def test_sharded_train_two_steps_loss_decreases():
     assert l2 < l1, (l1, l2)
 
 
+def test_offload_optimizer_cpu_fallback_still_trains():
+    """--offload-optimizer on a backend without pinned_host placement (CPU)
+    must fall back cleanly and keep training; on TPU the same flag rests the
+    Adam moments in host memory (scripts/verify_offload_tpu.py checks the
+    placement on the real chip)."""
+    from hicom_tpu.parallel.sharding import supports_host_offload
+
+    mesh = create_mesh(dp=4, fsdp=2, tp=1)
+    cfg = tiny_test_config()
+    model = HIComModel(config=cfg)
+    batch = make_batch(cfg)
+    optimizer = build_optimizer(
+        jax.eval_shape(
+            lambda r: model.init(r, batch["input_ids"], batch["frames"], labels=batch["labels"], modal="video")["params"],
+            jax.random.PRNGKey(0),
+        ),
+        learning_rate=1e-2, total_steps=10, warmup_ratio=0.0,
+        schedule_kind="constant", tunable_parts="mm_projector,language_model",
+    )
+    with mesh:
+        state, shardings = create_sharded_state(
+            model, optimizer, mesh, batch, jax.random.PRNGKey(0), offload_optimizer=True)
+        step = jax.jit(make_train_step(model, optimizer), donate_argnums=0)
+        state, m1 = step(state, shard_batch_tree(batch, mesh))
+        assert np.isfinite(float(m1["loss"]))
+    if supports_host_offload():
+        kinds = {s.memory_kind for s in jax.tree.leaves(shardings.opt_state)
+                 if hasattr(s, "memory_kind")}
+        assert kinds == {"pinned_host"}
+
+
 def test_frozen_parts_do_not_move():
     mesh = create_mesh(dp=8, fsdp=1, tp=1)
     cfg = tiny_test_config()
