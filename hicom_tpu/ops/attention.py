@@ -85,7 +85,12 @@ def sdpa(
     if implementation == "flash":
         from .flash_attention import flash_attention, flash_attention_gqa
 
-        blocks = dict(block_q=full_block_max, block_k=full_block_max) if fits_one_block else {}
+        # Full-seq blocks were chip-measured to win only on lane-misaligned
+        # head dims (d=72 SigLIP −22%, d=64 CLIP −34% vs 256-blocks);
+        # 128-multiple d (decoder prefill) keeps the default block tuning
+        # until measured.
+        use_full = fits_one_block and q.shape[-1] % 128 != 0
+        blocks = dict(block_q=full_block_max, block_k=full_block_max) if use_full else {}
         if grouped:
             assert mask is None, "flash GQA supports causal/length masks only"
             if _os.environ.get("HICOM_FLASH_GQA", "1") == "0":

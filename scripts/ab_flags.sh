@@ -11,7 +11,8 @@ run() {
   local name="$1"; shift
   echo "=== $name ($*) ===" >&2
   local line
-  line=$(env HICOM_SKIP_PROBE=1 "$@" timeout 900 python bench.py --no-cache "${EXTRA[@]}" 2>/tmp/ab_last.err | tail -1)
+  # ${EXTRA[@]+...}: empty-array expansion is an unbound error under set -u on bash < 4.4
+  line=$(env HICOM_SKIP_PROBE=1 "$@" timeout 900 python bench.py --no-cache ${EXTRA[@]+"${EXTRA[@]}"} 2>/tmp/ab_last.err | tail -1)
   echo "{\"combo\": \"$name\", \"result\": ${line:-null}}" >> "$OUT"
   echo "$line" >&2
 }
