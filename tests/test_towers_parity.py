@@ -417,3 +417,56 @@ def test_siglip_scan_layers_parity():
     pooled_s, per_tok_s = enc_s.apply({"params": stack_encoder_layers(tp)}, ids, mask)
     np.testing.assert_allclose(np.asarray(pooled_s), np.asarray(pooled), rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(per_tok_s), np.asarray(per_tok), rtol=1e-6, atol=1e-6)
+
+
+def test_w8a8_tower_close_to_fp():
+    """w8a8 serving tower (int8 act × int8 weight, int32 MXU accumulation —
+    models/quant.py) stays within standard int8 tolerance of the fp tower:
+    per-channel weight scales + per-row dynamic activation scales."""
+    import dataclasses
+
+    from hicom_tpu.models.quant import quantize_tower_params
+
+    cfg = hcfg.SiglipVisionConfig(**VIS)
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.standard_normal((2, 3, 56, 56)).astype(np.float32))
+    fp = SiglipVisionTower(config=cfg, dtype=jnp.float32)
+    vars_fp = fp.init(jax.random.PRNGKey(0), px)
+    f_fp, e_fp = fp.apply(vars_fp, px)
+
+    qcfg = dataclasses.replace(cfg, quantization="w8a8")
+    qt = SiglipVisionTower(config=qcfg, dtype=jnp.float32)
+    qparams = quantize_tower_params(jax.device_get(vars_fp["params"]))
+    f_q, e_q = qt.apply({"params": jax.tree.map(jnp.asarray, qparams)}, px)
+
+    a, b = np.asarray(f_fp).ravel(), np.asarray(f_q).ravel()
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    rel = float(np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9))
+    assert cos > 0.999 and rel < 0.03, (cos, rel)
+    # head path also runs (stays fp)
+    assert e_q.shape == e_fp.shape
+
+
+def test_w8a8_tower_scan_layers_matches_unrolled():
+    """w8a8 + scan_towers compose: stacked quantized params give identical
+    outputs to the unrolled quantized tower."""
+    import dataclasses
+
+    from hicom_tpu.models.quant import quantize_tower_params
+    from hicom_tpu.weights import stack_encoder_layers
+
+    cfg = hcfg.SiglipVisionConfig(**VIS)
+    rng = np.random.default_rng(1)
+    px = jnp.asarray(rng.standard_normal((1, 3, 56, 56)).astype(np.float32))
+    fp = SiglipVisionTower(config=cfg, dtype=jnp.float32)
+    qparams = quantize_tower_params(jax.device_get(fp.init(jax.random.PRNGKey(0), px)["params"]))
+
+    qcfg = dataclasses.replace(cfg, quantization="w8a8")
+    un = SiglipVisionTower(config=qcfg, dtype=jnp.float32)
+    f_un, _ = un.apply({"params": jax.tree.map(jnp.asarray, qparams)}, px)
+
+    scfg = dataclasses.replace(qcfg, scan_layers=True)
+    sc = SiglipVisionTower(config=scfg, dtype=jnp.float32)
+    stacked = stack_encoder_layers(qparams)
+    f_sc, _ = sc.apply({"params": jax.tree.map(jnp.asarray, stacked)}, px)
+    np.testing.assert_allclose(np.asarray(f_un), np.asarray(f_sc), rtol=1e-5, atol=1e-5)
