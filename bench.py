@@ -117,7 +117,7 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--sync-every", type=int, default=2, help="host sync cadence (bounds queued memory)")
     ap.add_argument("--no-cache", action="store_true", help="don't overwrite the cached result (A/B runs)")
-    ap.add_argument("--tower-quant", choices=("none", "w8a8"),
+    ap.add_argument("--tower-quant", choices=("none", "w8a8", "w8a8_mlp"),
                     default=os.environ.get("HICOM_TOWER_QUANT", "w8a8"),
                     help="serving-tower quantization (default w8a8: int8 MXU, "
                          "~1.3x tower; 'none' = bf16 reference numerics)")
@@ -358,14 +358,23 @@ def _run(args, flags):
     float(fn(params, input_ids, frames, gids))  # compile + warm
 
     # Amortize the ~30ms host<->chip sync: queue sync_every iters per fetch.
+    # Per-group times are kept so transient co-tenant stalls are visible: the
+    # chip intermittently runs this program class at ~0.4x while the pure
+    # matmul health chain stays green (observed 144 vs 60 f/s, same flags) —
+    # detail.best reports the cleanest group.
+    group_dts = []
     t0 = time.perf_counter()
     for i in range(0, args.iters, args.sync_every):
+        g0 = time.perf_counter()
         acc = 0.0
-        for _ in range(min(args.sync_every, args.iters - i)):
+        n_in_group = min(args.sync_every, args.iters - i)
+        for _ in range(n_in_group):
             acc = acc + fn(params, input_ids, frames, gids)
         float(acc)
+        group_dts.append((time.perf_counter() - g0) / n_in_group)
     dt = (time.perf_counter() - t0) / args.iters
     frames_per_sec = b * t / dt
+    best_dt = min(group_dts)
 
     # Analytic A100 estimate for the same computation (bf16 312 TFLOP/s, 45% MFU).
     def approx_flops():
@@ -413,6 +422,8 @@ def _run(args, flags):
             "frames_per_video": t,
             "achieved_tflops": round(achieved_tflops, 1),
             "mfu_pct": round(100 * achieved_tflops / ceiling, 1),
+            "best_frames_per_sec": round(b * t / best_dt, 2),
+            "group_ms": [round(g * 1e3, 1) for g in group_dts],
             "config": "tiny" if args.small else (
                 ("so400m+qwen2.5-7B-int8" if args.model == "7b" else "so400m+qwen2.5-1.5B")
                 + ("-w8a8tower" if args.tower_quant != "none" else "")),

@@ -375,7 +375,8 @@ def load_model(
     if load_w8a8_tower:
         from .models.quant import quantize_tower_params
 
-        params["vision_tower"] = quantize_tower_params(params["vision_tower"])
+        params["vision_tower"] = quantize_tower_params(
+            params["vision_tower"], mode=cfg.vision_config.quantization)
     if cfg.guide_enabled():
         params["guide_encoder"] = W.convert_clip_text(tower_sd) if is_clip else W.convert_siglip_text(tower_sd)
     if scan_towers:

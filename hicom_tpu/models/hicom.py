@@ -131,28 +131,45 @@ class HIComModel(nn.Module):
     ) -> Array:
         """Single anyres image → (V, hidden) tokens. Shapes depend on the host
         image_size, so callers jit per resulting shape (eval path)."""
-        from .anyres import process_anyres_image_feature
+        from .anyres import make_anyres_plan
+
+        cfg = self.config
+        plan = make_anyres_plan(image_size, cfg, cfg.vision_config.image_size)
+        return self.encode_visual_anyres_plan(frames, plan, guide_embeds)
+
+    def encode_visual_anyres_plan(
+        self,
+        frames: Array,  # (n, 3, H, W)
+        plan,  # AnyresPlan (static) or None (non-spatial merge)
+        guide_embeds: Optional[Array] = None,
+    ) -> Array:
+        """Single anyres image under a STATIC merge plan — the jit-safe core
+        shared by eval (plan derived per sample) and the train step (batches
+        grouped by plan; reference trains anyres in the llava1.5 ablation,
+        hicom_arch.py:216-269 + mlp2x_gelu_anyres.sh:112-115)."""
+        from .anyres import apply_anyres_plan
 
         cfg = self.config
         features, image_embeds = self.vision_tower(frames)
-        tower_size = cfg.vision_config.image_size
-        feat = process_anyres_image_feature(features, image_size, cfg, tower_size)
-        emb = None
-        if image_embeds is not None:
-            emb = process_anyres_image_feature(image_embeds, image_size, cfg, tower_size)
         nl = self.image_newline.astype(self.dtype) if self.image_newline is not None else None
         spec = cfg.projector
+        if plan is None:
+            feat = features
+            if spec.kind in ("mlp", "linear"):
+                proj = self.mm_projector(feat)
+                return post_process_visual_feature(cfg, proj, "image", nl, is_anyres=False)
+            emb = image_embeds
+            return self.mm_projector(feat, emb, guide_embeds, "image", nl)
+        feat = apply_anyres_plan(features, plan)
+        emb = apply_anyres_plan(image_embeds, plan) if image_embeds is not None else None
         if spec.kind in ("mlp", "linear"):
             parts = []
-            if isinstance(feat, dict):
-                if feat["base"] is not None:
-                    base = self.mm_projector(feat["base"][None])
-                    parts.append(post_process_visual_feature(cfg, base, "image", nl, is_anyres=False))
-                patch = self.mm_projector(feat["patch"][None])
-                parts.append(post_process_visual_feature(cfg, patch, "image", nl, is_anyres=True))
-                return jnp.concatenate(parts, axis=-2)
-            proj = self.mm_projector(feat)
-            return post_process_visual_feature(cfg, proj, "image", nl, is_anyres=False)
+            if feat["base"] is not None:
+                base = self.mm_projector(feat["base"][None])
+                parts.append(post_process_visual_feature(cfg, base, "image", nl, is_anyres=False))
+            patch = self.mm_projector(feat["patch"][None])
+            parts.append(post_process_visual_feature(cfg, patch, "image", nl, is_anyres=True))
+            return jnp.concatenate(parts, axis=-2)
         return self.mm_projector(feat, emb, guide_embeds, "image", nl)
 
     def encode_visual_shard(
@@ -258,6 +275,7 @@ class HIComModel(nn.Module):
         guide_mask: Optional[Array] = None,
         modal: str = "video",
         multi_image: bool = False,  # static: frames is (b, K, 3, H, W) — K images, K sentinels
+        anyres_plan=None,  # static AnyresPlan: frames is (b, n_crops, 3, H, W)
     ):
         """Returns (logits, spliced labels, attention mask)."""
         visual = None
@@ -265,7 +283,19 @@ class HIComModel(nn.Module):
             guide_embeds = None
             if self.config.guide_enabled():
                 guide_embeds = self.encode_guide(guide_ids, guide_mask)
-            if multi_image and modal == "image":
+            if anyres_plan is not None and modal == "image" and not multi_image:
+                # anyres TRAIN path: every row shares the static merge plan
+                # (batches grouped by plan upstream), so one vmapped program
+                # covers the batch — the llava1.5 anyres ablation
+                # (hicom_arch.py:216-269) inside the jitted step.
+                in_axes = (0, 0 if guide_embeds is not None else None)
+                vp = nn.vmap(
+                    lambda mdl, f, g: mdl.encode_visual_anyres_plan(f, anyres_plan, g),
+                    in_axes=in_axes, out_axes=0,
+                    variable_axes={"params": None}, split_rngs={"params": False},
+                )
+                visual = vp(self, frames, guide_embeds)
+            elif multi_image and modal == "image":
                 # each image is its own single-frame sample; rows with fewer
                 # sentinels than K ignore the surplus (multi-sentinel splice).
                 b, K = frames.shape[:2]

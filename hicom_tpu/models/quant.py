@@ -57,18 +57,44 @@ class W8A8Dense(nn.Module):
         return y
 
 
+class W8A8DenseQ(nn.Module):
+    """W8A8Dense over an ALREADY-quantized input (xq int8, sx per-row scale):
+    lets sibling projections (q/k/v share one layer-norm output) amortize one
+    activation quantization across three int8 matmuls."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, xq: Array, sx: Array) -> Array:
+        in_dim = xq.shape[-1]
+        kernel_q = self.param("kernel_q", nn.initializers.zeros, (in_dim, self.features), jnp.int8)
+        scale = self.param("kernel_scale", nn.initializers.ones, (self.features,), jnp.float32)
+        acc = jax.lax.dot_general(
+            xq, kernel_q, (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = (acc.astype(jnp.float32) * sx * scale).astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 def make_tower_dense(quantized: Optional[str], features: int, name: str, dtype) -> nn.Module:
     if quantized == "w8a8":
         return W8A8Dense(features, name=name, dtype=dtype)
     return nn.Dense(features, name=name, dtype=dtype)
 
 
-def quantize_tower_params(vision_params: dict) -> dict:
+def quantize_tower_params(vision_params: dict, mode: str = "w8a8") -> dict:
     """fp tower params → w8a8 layout: encoder-layer linear kernels become
     per-output-channel int8 (kernel_q + kernel_scale); embeddings, norms,
     attention-pool head stay fp. Host-side (numpy), mirrors the param names
-    W8A8Dense declares."""
-    TARGET = ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2")
+    W8A8Dense declares. ``mode="w8a8_mlp"`` quantizes only fc1/fc2."""
+    TARGET = ("fc1", "fc2") if mode == "w8a8_mlp" else (
+        "q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2")
 
     def walk(tree, path=""):
         if not isinstance(tree, dict):

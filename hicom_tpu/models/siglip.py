@@ -38,13 +38,25 @@ class SiglipAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
-        from .quant import make_tower_dense
+        # "w8a8_mlp" quantizes only the MLP: the d×d attention projections
+        # have too little arithmetic intensity for int8 to beat its
+        # quantize-op overhead (chip A/B: full w8a8 tower 126 f/s < bf16 144)
+        head_dim = self.hidden_size // self.num_heads
+        if self.quantized == "w8a8":
+            from .quant import W8A8Dense, W8A8DenseQ, quantize_rows
 
-        dense = lambda name: make_tower_dense(self.quantized, self.hidden_size, name, self.dtype)  # noqa: E731
+            # q/k/v share one quantized input (one activation pass, 3 int8
+            # matmuls); out_proj quantizes its own input
+            xq, sx = quantize_rows(x)
+            q = W8A8DenseQ(self.hidden_size, name="q_proj", dtype=self.dtype)(xq, sx)
+            k = W8A8DenseQ(self.hidden_size, name="k_proj", dtype=self.dtype)(xq, sx)
+            v = W8A8DenseQ(self.hidden_size, name="v_proj", dtype=self.dtype)(xq, sx)
+            out = multi_head_attention(q, k, v, self.num_heads, scale=head_dim**-0.5, mask=mask)
+            return W8A8Dense(self.hidden_size, name="out_proj", dtype=self.dtype)(out)
+        dense = lambda name: nn.Dense(self.hidden_size, name=name, dtype=self.dtype)  # noqa: E731
         q = dense("q_proj")(x)
         k = dense("k_proj")(x)
         v = dense("v_proj")(x)
-        head_dim = self.hidden_size // self.num_heads
         out = multi_head_attention(q, k, v, self.num_heads, scale=head_dim**-0.5, mask=mask)
         return dense("out_proj")(out)
 
@@ -59,9 +71,10 @@ class SiglipMLP(nn.Module):
     def __call__(self, x: Array) -> Array:
         from .quant import make_tower_dense
 
-        x = make_tower_dense(self.quantized, self.intermediate_size, "fc1", self.dtype)(x)
+        q = "w8a8" if self.quantized == "w8a8_mlp" else self.quantized
+        x = make_tower_dense(q, self.intermediate_size, "fc1", self.dtype)(x)
         x = gelu_tanh(x)
-        return make_tower_dense(self.quantized, self.hidden_size, "fc2", self.dtype)(x)
+        return make_tower_dense(q, self.hidden_size, "fc2", self.dtype)(x)
 
 
 class SiglipEncoderLayer(nn.Module):

@@ -88,8 +88,10 @@ def sdpa(
         # Full-seq blocks were chip-measured to win only on lane-misaligned
         # head dims (d=72 SigLIP −22%, d=64 CLIP −34% vs 256-blocks);
         # 128-multiple d (decoder prefill) keeps the default block tuning
-        # until measured.
-        use_full = fits_one_block and q.shape[-1] % 128 != 0
+        # until measured. HICOM_FLASH_FULLBLOCK_ALIGNED=1 extends the
+        # override to aligned d (A/B knob).
+        aligned_ok = _os.environ.get("HICOM_FLASH_FULLBLOCK_ALIGNED", "0") == "1"
+        use_full = fits_one_block and (q.shape[-1] % 128 != 0 or aligned_ok)
         blocks = dict(block_q=full_block_max, block_k=full_block_max) if use_full else {}
         if grouped:
             assert mask is None, "flash GQA supports causal/length masks only"

@@ -173,6 +173,8 @@ def main(argv=None):
         use_guide=args.use_guide,
         is_pretraining=args.is_pretraining,
         image_size=cfg.vision_config.image_size,
+        patch_size=getattr(cfg.vision_config, "patch_size", 14),
+        mm_patch_merge_type=args.mm_patch_merge_type,
         model_max_length=args.model_max_length,
     )
     dataset = SupervisedDataset(tokenizer, dargs, image_processor)
@@ -327,7 +329,8 @@ def main(argv=None):
                                           group_by_modality=args.group_by_modality_length,
                                           process_index=proc_idx, process_count=n_proc):
                     advanced = True
-                    jbatch = {k: v for k, v in batch.items() if not isinstance(v, (str, bool))}
+                    jbatch = {k: v for k, v in batch.items()
+                              if not isinstance(v, (str, bool)) and k != "anyres_plan"}
                     carry, metrics = get_lora_step_fn(batch)(carry, make_global_batch(jbatch, mesh))
                     step += 1
                     if step % args.logging_steps == 0:
@@ -356,7 +359,7 @@ def main(argv=None):
 
         def get_step_fn(batch):
             key = (batch.get("modal", modal), bool(batch.get("multi_image", False)),
-                   "frames" in batch)
+                   "frames" in batch, batch.get("anyres_plan"))
             if key not in step_fns:
                 # explicit out_shardings keep the updated optimizer state in
                 # its creation-time memory kind (pinned_host under
@@ -366,7 +369,8 @@ def main(argv=None):
                     jit_kw["out_shardings"] = (shardings, None)
                 step_fns[key] = jax.jit(
                     make_train_step(model, optimizer, modal=key[0],
-                                    has_frames=key[2], multi_image=key[1]),
+                                    has_frames=key[2], multi_image=key[1],
+                                    anyres_plan=key[3]),
                     **jit_kw)
             return step_fns[key]
 
@@ -380,7 +384,8 @@ def main(argv=None):
                                       process_index=proc_idx, process_count=n_proc):
                 made_progress = True
                 step_fn = get_step_fn(batch)
-                jbatch = {k: v for k, v in batch.items() if not isinstance(v, (str, bool))}
+                jbatch = {k: v for k, v in batch.items()
+                              if not isinstance(v, (str, bool)) and k != "anyres_plan"}
                 state, metrics = step_fn(state, make_global_batch(jbatch, mesh))
                 step += 1
                 losses.append(metrics["loss"])

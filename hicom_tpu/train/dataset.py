@@ -116,6 +116,8 @@ class DataArguments:
     is_pretraining: bool = False
     is_multimodal: bool = True
     image_size: int = 384
+    patch_size: int = 14  # tower patch size (anyres plan geometry)
+    mm_patch_merge_type: str = "flat"  # anyres merge (spatial_unpad etc.)
     model_max_length: int = 4096
     length_bucket: int = 64  # pad batches up to a multiple (static jit shapes)
 
@@ -243,6 +245,54 @@ class SupervisedDataset:
         row = self.rows[idx]
         return "image" if "image" in row else ("video" if "video" in row else "text")
 
+    @property
+    def _anyres_train(self) -> bool:
+        aspect = self.args.image_aspect_ratio or ""
+        merge = getattr(self.args, "mm_patch_merge_type", "flat") or "flat"
+        return "anyres" in aspect and merge.startswith("spatial")
+
+    def anyres_plan_of(self, idx: int):
+        """Static merge plan for a single-image anyres sample (None otherwise).
+        Reads only the PIL header (lazy open) — no pixel decode; memoized."""
+        if not self._anyres_train:
+            return None
+        cache = getattr(self, "_plan_cache", None)
+        if cache is None:
+            cache = self._plan_cache = {}
+        if idx in cache:
+            return cache[idx]
+        cache[idx] = self._compute_anyres_plan(idx)
+        return cache[idx]
+
+    def _compute_anyres_plan(self, idx: int):
+        row = self.rows[idx]
+        if "image" not in row or isinstance(row["image"], list):
+            return None
+        from PIL import Image
+
+        from ..models.anyres import make_anyres_plan
+
+        path = row["image"]
+        if self.args.data_folder:
+            path = os.path.join(self.args.data_folder, path)
+        try:
+            with Image.open(path) as im:
+                size = im.size  # (width, height), header only
+        except Exception:
+            return None
+        cfg = type("PlanCfg", (), {
+            "mm_patch_merge_type": getattr(self.args, "mm_patch_merge_type", "flat"),
+            "image_aspect_ratio": self.args.image_aspect_ratio,
+            "image_grid_pinpoints": self.args.image_grid_pinpoints,
+        })()
+        hw = self.args.image_size // getattr(self.args, "patch_size", 14)
+        return make_anyres_plan(size, cfg, self.args.image_size, hw=hw)
+
+    def batch_key(self, idx: int):
+        """Batches must be uniform in (modality, anyres plan): each distinct
+        plan is one compiled train step (static shapes under jit)."""
+        return (self.modality_of(idx), self.anyres_plan_of(idx))
+
     def __getitem__(self, i: int) -> Dict[str, Any]:
         sample = self.rows[i]
         args = self.args
@@ -293,7 +343,7 @@ class SupervisedDataset:
             process_guided = guide_on and modal_token in ("<image>", "<video>")
             ids, labels = preprocess_chat(conversations, self.tokenizer, modal_token, process_guided)
 
-        return {
+        out = {
             "input_ids": ids[0][: args.model_max_length],
             "labels": labels[0][: args.model_max_length],
             "frames": frames,
@@ -304,6 +354,9 @@ class SupervisedDataset:
             # train.py:525-530). Single-image anyres crops keep num_images=1.
             "num_images": num_images,
         }
+        if "image" in sample and num_images == 1:
+            out["image_size"] = tuple(_sizes[0])  # original (width, height)
+        return out
 
 
 # --------------------------------------------------------------------------- #
@@ -375,6 +428,26 @@ class Collator:
             # train.py:525-530); rows with fewer images zero-pad to K and the
             # K-sentinel splice drops the surplus embeds.
             batch["multi_image"] = multi
+            # anyres train batches: the iterator grouped rows by plan — attach
+            # the (static, hashable) plan for the per-plan compiled step
+            merge = getattr(self.data_args, "mm_patch_merge_type", "flat") or "flat"
+            aspect = self.data_args.image_aspect_ratio or ""
+            if (modal == "image" and not multi and "anyres" in aspect
+                    and merge.startswith("spatial")):
+                from ..models.anyres import make_anyres_plan
+
+                cfg = type("PlanCfg", (), {
+                    "mm_patch_merge_type": merge,
+                    "image_aspect_ratio": aspect,
+                    "image_grid_pinpoints": self.data_args.image_grid_pinpoints,
+                })()
+                hw = self.data_args.image_size // getattr(self.data_args, "patch_size", 14)
+                plans = {
+                    make_anyres_plan(inst["image_size"], cfg, self.data_args.image_size, hw=hw)
+                    for inst in instances if "image_size" in inst
+                }
+                assert len(plans) == 1, f"anyres batch mixes merge plans: {plans}"
+                batch["anyres_plan"] = plans.pop()
         if self.guide_tokenizer is not None:
             enc = self.guide_tokenizer(
                 [x["guided_prompt"] for x in instances],
@@ -452,6 +525,18 @@ def iter_batches(dataset: SupervisedDataset, collator: Collator, batch_size: int
         order = modality_length_grouped_indices(dataset.modality_lengths, batch_size, 1, seed)
     else:
         order = np.random.default_rng(seed).permutation(n).tolist()
+    if getattr(dataset, "_anyres_train", False):
+        # anyres: batches must be uniform in (modality, merge plan) — buffer
+        # per key and emit whenever one fills (plan comes from the PIL header,
+        # no pixel decode). Partial buffers drop at epoch end, like the
+        # contiguous grouping below drops modality-boundary remainders.
+        pending: Dict[Any, List[int]] = {}
+        for idx in order:
+            k = dataset.batch_key(idx)
+            pending.setdefault(k, []).append(idx)
+            if len(pending[k]) == batch_size:
+                yield collator([dataset[i] for i in pending.pop(k)[lo:hi]])
+        return
     # group contiguous same-modality indices into batches
     batch: List[int] = []
     for idx in order:

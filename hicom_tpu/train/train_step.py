@@ -38,7 +38,8 @@ def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> tuple[jnp.ndarra
     return jnp.sum(jnp.where(valid, ll, 0.0)) / n, n
 
 
-def make_loss_fn(model, modal: str = "video", has_frames: bool = True, multi_image: bool = False):
+def make_loss_fn(model, modal: str = "video", has_frames: bool = True, multi_image: bool = False,
+                 anyres_plan=None):
     def loss_fn(params, batch):
         logits, labels, _ = model.apply(
             {"params": params},
@@ -50,6 +51,7 @@ def make_loss_fn(model, modal: str = "video", has_frames: bool = True, multi_ima
             guide_mask=batch.get("guide_mask"),
             modal=modal,
             multi_image=multi_image,
+            anyres_plan=anyres_plan,
         )
         loss, n = causal_lm_loss(logits, labels)
         return loss, {"loss": loss, "target_tokens": n}
@@ -57,8 +59,9 @@ def make_loss_fn(model, modal: str = "video", has_frames: bool = True, multi_ima
     return loss_fn
 
 
-def make_train_step(model, optimizer, modal: str = "video", has_frames: bool = True, multi_image: bool = False):
-    loss_fn = make_loss_fn(model, modal, has_frames, multi_image)
+def make_train_step(model, optimizer, modal: str = "video", has_frames: bool = True, multi_image: bool = False,
+                    anyres_plan=None):
+    loss_fn = make_loss_fn(model, modal, has_frames, multi_image, anyres_plan)
 
     def train_step(state: TrainState, batch):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)

@@ -1,0 +1,123 @@
+"""Interleaved A/B of serving-tower quantization modes on the real chip.
+
+Arms (all compiled up front in ONE process, then timed in alternating groups
+so the chip's ~3x tenancy drift cannot masquerade as an arm effect — see
+CLAUDE.md "Chip throughput varies"):
+
+  none      bf16 tower (reference numerics)
+  w8a8_mlp  int8 fc1/fc2 only (the 54%-of-e2e FLOPs block; attention
+            projections stay bf16)
+  w8a8      full int8 encoder linears, q/k/v sharing one activation
+            quantization (models/siglip.py W8A8DenseQ path)
+
+Optionally adds a FULLBLOCK_ALIGNED arm (decoder-prefill flash with full-seq
+blocks at d=128) via AB_ALIGNED=1 — the env gate is read at trace time, so the
+arm is traced under the flag and timed against the winner's default trace.
+
+Run: HICOM_SKIP_PROBE=1 python scripts/tower_quant_ab.py   (after a direct
+relay check; keep the host otherwise idle — host contention poisons this, see
+CLAUDE.md).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+import numpy as np
+
+BATCH = int(os.environ.get("AB_BATCH", "4"))
+FRAMES = int(os.environ.get("AB_FRAMES", "32"))
+ROUNDS = int(os.environ.get("AB_ROUNDS", "4"))
+GROUP = int(os.environ.get("AB_GROUP", "2"))  # iters per timing group
+ARMS = os.environ.get("AB_ARMS", "none,w8a8_mlp,w8a8").split(",")
+
+import jax
+import jax.numpy as jnp
+
+from bench import random_params_like, relay_health, serving_config
+from hicom_tpu.constants import VIDEO_TOKEN_INDEX
+from hicom_tpu.models.hicom import HIComModel
+
+
+def build_arm(tower_quant, aligned=False):
+    """Returns a zero-arg timed callable (compiled + warmed)."""
+    if aligned:
+        os.environ["HICOM_FLASH_FULLBLOCK_ALIGNED"] = "1"
+    tq = None if tower_quant == "none" else tower_quant
+    cfg = serving_config("1.5b", frames=FRAMES, tower_quant=tq)
+    model = HIComModel(config=cfg)
+    rng = np.random.default_rng(0)
+    img = cfg.vision_config.image_size
+    b, L = BATCH, 48
+    ids = rng.integers(5, cfg.text_config.vocab_size, (b, L))
+    ids[:, 2] = VIDEO_TOKEN_INDEX
+    input_ids = jnp.asarray(ids)
+    frames = jnp.asarray(rng.standard_normal((b, FRAMES, 3, img, img)).astype(np.float32), jnp.bfloat16)
+    gids = jnp.asarray(rng.integers(1, cfg.guide_text_config.vocab_size, (b, 24)))
+    init_ids = input_ids[:1, :8].at[0, 2].set(VIDEO_TOKEN_INDEX)
+    shapes = jax.eval_shape(
+        lambda r: model.init(r, init_ids, frames[:1, :1], guide_ids=gids[:1], modal="video")["params"],
+        jax.random.PRNGKey(0))
+    params = random_params_like(shapes)
+
+    def pipeline(params, input_ids, frames, gids):
+        def run(m):
+            ge = m.encode_guide(gids)
+            visual = m.encode_visual(frames, ge, "video")
+            spliced = m.embed_and_splice(input_ids, visual)
+            hidden, _ = m.language_model.model(spliced.embeds, spliced.positions)
+            return jnp.sum(m.language_model.logits(hidden[:, -1:]).astype(jnp.float32))
+
+        return model.apply({"params": params}, method=run)
+
+    fn = jax.jit(pipeline)
+    t0 = time.perf_counter()
+    float(fn(params, input_ids, frames, gids))  # compile + warm
+    print(f"  arm {tower_quant}{'+aligned' if aligned else ''}: compiled in "
+          f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
+    if aligned:
+        os.environ.pop("HICOM_FLASH_FULLBLOCK_ALIGNED", None)
+
+    def timed():
+        g0 = time.perf_counter()
+        acc = 0.0
+        for _ in range(GROUP):
+            acc = acc + fn(params, input_ids, frames, gids)
+        float(acc)
+        return (time.perf_counter() - g0) / GROUP
+
+    return timed
+
+
+def main():
+    health = relay_health()
+    print(f"relay_health: {health}", file=sys.stderr)
+
+    arms = {}
+    for name in ARMS:
+        arms[name] = build_arm(name)
+    if os.environ.get("AB_ALIGNED") == "1":
+        arms["w8a8_mlp+aligned"] = build_arm("w8a8_mlp", aligned=True)
+
+    groups = {k: [] for k in arms}
+    for r in range(ROUNDS):
+        for k, timed in arms.items():
+            dt = timed()
+            groups[k].append(dt)
+            print(f"round {r} {k}: {dt * 1e3:.1f} ms/iter "
+                  f"({BATCH * FRAMES / dt:.1f} f/s)", file=sys.stderr)
+
+    out = {"batch": BATCH, "frames": FRAMES, "relay_health": health, "arms": {}}
+    for k, dts in groups.items():
+        best = min(dts)
+        out["arms"][k] = {
+            "mean_fps": round(BATCH * FRAMES * len(dts) / sum(dts), 1),
+            "best_fps": round(BATCH * FRAMES / best, 1),
+            "group_ms": [round(d * 1e3, 1) for d in dts],
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
