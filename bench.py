@@ -118,9 +118,11 @@ def main():
     ap.add_argument("--sync-every", type=int, default=2, help="host sync cadence (bounds queued memory)")
     ap.add_argument("--no-cache", action="store_true", help="don't overwrite the cached result (A/B runs)")
     ap.add_argument("--tower-quant", choices=("none", "w8a8", "w8a8_mlp"),
-                    default=os.environ.get("HICOM_TOWER_QUANT", "w8a8"),
-                    help="serving-tower quantization (default w8a8: int8 MXU, "
-                         "~1.3x tower; 'none' = bf16 reference numerics)")
+                    default=os.environ.get("HICOM_TOWER_QUANT", "w8a8_mlp"),
+                    help="serving-tower quantization (default w8a8_mlp: int8 "
+                         "MXU for fc1/fc2 only — interleaved chip A/B 154.2 "
+                         "vs bf16 143.7 vs full-w8a8 139.2 f/s; 'none' = bf16 "
+                         "reference numerics)")
     ap.add_argument("--decode", action="store_true",
                     help="measure decode steps at b∈{1,4,8} instead of the "
                          "e2e prefill metric (serving throughput table)")

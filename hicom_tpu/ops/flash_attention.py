@@ -50,17 +50,27 @@ def _flash_kernel(
     block_q: int,
     block_k: int,
     q_seq: int,
+    full_kv: bool,
 ):
     bi = pl.program_id(0)
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
+    # Static fast path: no causal mask, every row attends to the whole
+    # (unpadded) kv — the SigLIP/CLIP tower shape. Skips the iota/mod/compare
+    # mask build (pure VPU work serialized against the MXU dots; chip-measured
+    # ~15% of full-block tower attention) and, with a single kv block, the
+    # online-softmax rescale + accumulator scratch entirely.
+    skip_mask = full_kv and not causal
+    single_kv = skip_mask and nk == 1
 
-    @pl.when(ki == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
+    if not single_kv:
+
+        @pl.when(ki == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[:] = jnp.zeros_like(l_ref)
 
     def compute():
         q = q_ref[0]
@@ -70,13 +80,28 @@ def _flash_kernel(
         )
         logits = logits * scale + logit_bias
 
-        q_pos = (qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)) % q_seq
-        k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        mask = k_pos < jnp.minimum(kv_len, kv_len_ref[bi])  # block pad + row pad
-        if causal:
-            # bottom-right-aligned diagonal (einsum-path parity for Lq != Lk)
-            mask &= k_pos <= q_pos + (kv_len - q_seq)
-        logits = jnp.where(mask, logits, NEG_INF)
+        if not skip_mask:
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            if (pl.num_programs(1) * block_q) > q_seq:  # folded rows restart each q_seq
+                q_pos = q_pos % q_seq
+            k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            mask = k_pos < jnp.minimum(kv_len, kv_len_ref[bi])  # block pad + row pad
+            if causal:
+                # bottom-right-aligned diagonal (einsum-path parity for Lq != Lk)
+                mask &= k_pos <= q_pos + (kv_len - q_seq)
+            logits = jnp.where(mask, logits, NEG_INF)
+
+        if single_kv:  # plain softmax, straight to the output block
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[0] = (o / l).astype(o_ref.dtype)
+            lse_ref[0, 0, 0] = (m + jnp.log(l))[:, 0]
+            return
 
         m_prev = m_ref[:]
         l_prev = l_ref[:]
@@ -104,11 +129,72 @@ def _flash_kernel(
     else:
         compute()
 
-    @pl.when(ki == nk - 1)
-    def _finish():
-        denom = jnp.maximum(l_ref[:], 1e-30)
-        o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
-        lse_ref[0, 0, 0] = (m_ref[:] + jnp.log(denom))[:, 0]
+    if not single_kv:
+
+        @pl.when(ki == nk - 1)
+        def _finish():
+            denom = jnp.maximum(l_ref[:], 1e-30)
+            o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+            lse_ref[0, 0, 0] = (m_ref[:] + jnp.log(denom))[:, 0]
+
+
+def _fullblock_kernel(
+    q_ref,  # (fold, L, d)
+    k_ref,  # (fold, L, d)
+    v_ref,  # (fold, L, d)
+    o_ref,  # (fold, L, d)
+    lse_ref,  # (fold, 1, 1, L) f32
+    *,
+    scale: float,
+    logit_bias: float,
+    fold: int,
+):
+    """Single-block full attention (no mask, no online softmax), ``fold`` rows
+    per grid cell. The tower shape (729 tokens, d=72) makes the grid 55k tiny
+    cells per layer at b=4; folding heads amortizes the per-cell fixed cost
+    (chip: ~1.3us/cell of non-MXU, non-softmax overhead)."""
+    for h in range(fold):  # static unroll
+        logits = jax.lax.dot_general(
+            q_ref[h], k_ref[h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + logit_bias
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[h] = (o / l).astype(o_ref.dtype)
+        lse_ref[h, 0, 0] = (m + jnp.log(l))[:, 0]
+
+
+def _fullblock_fwd(q, k, v, scale, logit_bias, interpret):
+    """Dispatch for the unmasked single-block case: grid (bh/fold, 1, 1)."""
+    import os as _os
+
+    bh, L, d = q.shape
+    fold = int(_os.environ.get("HICOM_FLASH_HEADFOLD", "4"))
+    while fold > 1 and bh % fold:
+        fold //= 2
+    out, lse = pl.pallas_call(
+        functools.partial(_fullblock_kernel, scale=scale, logit_bias=logit_bias, fold=fold),
+        grid=(bh // fold,),
+        in_specs=[pl.BlockSpec((fold, L, d), lambda b: (b, 0, 0))] * 3,
+        out_specs=[
+            pl.BlockSpec((fold, L, d), lambda b: (b, 0, 0)),
+            pl.BlockSpec((fold, 1, 1, L), lambda b: (b, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, L, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, 1, L), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return out, lse.reshape(bh, L)
 
 
 def _pad_to_blocks(q, k, v, block_q, block_k):
@@ -128,15 +214,20 @@ def _pad_to_blocks(q, k, v, block_q, block_k):
     return q, k, v, bq, bk, nq, nk
 
 
-def _flash_fwd_impl(q, k, v, kv_lengths, scale, logit_bias, is_causal, block_q, block_k, interpret, q_seq=None):
+def _flash_fwd_impl(q, k, v, kv_lengths, scale, logit_bias, is_causal, block_q, block_k, interpret, q_seq=None,
+                    full_kv=False):
     bh, q_len, d = q.shape
     kv_len = k.shape[1]
     qp, kp, vp, bq, bk, nq, nk = _pad_to_blocks(q, k, v, block_q, block_k)
+    if (full_kv and not is_causal and nq == nk == 1
+            and nq * bq == q_len and nk * bk == kv_len):
+        return _fullblock_fwd(q, k, v, scale, logit_bias, interpret)
     kernel = functools.partial(
         _flash_kernel,
         scale=scale, logit_bias=logit_bias, causal=is_causal,
         q_len=q_len, kv_len=kv_len, block_q=bq, block_k=bk,
         q_seq=q_seq if q_seq is not None else max(q_len, 1),
+        full_kv=full_kv and nk * bk == kv_len,  # no kv block padding either
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -171,7 +262,7 @@ def _flash_fwd_impl(q, k, v, kv_lengths, scale, logit_bias, is_causal, block_q, 
 def _bwd_dq_kernel(
     kv_len_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_ref,
-    *, scale, logit_bias, causal, q_len, kv_len, block_q, block_k, q_seq,
+    *, scale, logit_bias, causal, q_len, kv_len, block_q, block_k, q_seq, full_kv,
 ):
     bi = pl.program_id(0)
     qi = pl.program_id(1)
@@ -185,12 +276,16 @@ def _bwd_dq_kernel(
     def compute():
         s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale + logit_bias
-        q_pos = (qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)) % q_seq
-        k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        mask = k_pos < jnp.minimum(kv_len, kv_len_ref[bi])
-        if causal:
-            mask &= k_pos <= q_pos + (kv_len - q_seq)
-        p = jnp.where(mask, jnp.exp(s - lse_ref[0, 0, 0][:, None]), 0.0)
+        if full_kv and not causal:
+            # no mask build: padded q rows have lse=+inf -> p=0 (inert)
+            p = jnp.exp(s - lse_ref[0, 0, 0][:, None])
+        else:
+            q_pos = (qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)) % q_seq
+            k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            mask = k_pos < jnp.minimum(kv_len, kv_len_ref[bi])
+            if causal:
+                mask &= k_pos <= q_pos + (kv_len - q_seq)
+            p = jnp.where(mask, jnp.exp(s - lse_ref[0, 0, 0][:, None]), 0.0)
         dp = jax.lax.dot_general(do_ref[0].astype(jnp.float32), v_ref[0].astype(jnp.float32),
                                  (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         ds = p * (dp - delta_ref[0, 0, 0][:, None])
@@ -214,7 +309,7 @@ def _bwd_dq_kernel(
 def _bwd_dkv_kernel(
     kv_len_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-    *, scale, logit_bias, causal, q_len, kv_len, block_q, block_k, q_seq,
+    *, scale, logit_bias, causal, q_len, kv_len, block_q, block_k, q_seq, full_kv,
 ):
     bi = pl.program_id(0)
     ki = pl.program_id(1)
@@ -229,13 +324,17 @@ def _bwd_dkv_kernel(
     def compute():
         s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale + logit_bias
-        q_pos = (qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)) % q_seq
-        k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        raw_q = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        mask = (k_pos < jnp.minimum(kv_len, kv_len_ref[bi])) & (raw_q < q_len)
-        if causal:
-            mask &= k_pos <= q_pos + (kv_len - q_seq)
-        p = jnp.where(mask, jnp.exp(s - lse_ref[0, 0, 0][:, None]), 0.0)
+        if full_kv and not causal:
+            # no mask build: padded q rows have lse=+inf -> p=0 (inert)
+            p = jnp.exp(s - lse_ref[0, 0, 0][:, None])
+        else:
+            q_pos = (qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)) % q_seq
+            k_pos = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            raw_q = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            mask = (k_pos < jnp.minimum(kv_len, kv_len_ref[bi])) & (raw_q < q_len)
+            if causal:
+                mask &= k_pos <= q_pos + (kv_len - q_seq)
+            p = jnp.where(mask, jnp.exp(s - lse_ref[0, 0, 0][:, None]), 0.0)
         # dV += P^T dO
         dv_acc[:] += jax.lax.dot_general(
             p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
@@ -262,7 +361,8 @@ def _bwd_dkv_kernel(
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _flash_bwd_impl(q, k, v, kv_lengths, out, lse, do, scale, logit_bias, is_causal, block_q, block_k, interpret, q_seq=None):
+def _flash_bwd_impl(q, k, v, kv_lengths, out, lse, do, scale, logit_bias, is_causal, block_q, block_k, interpret, q_seq=None,
+                    full_kv=False):
     bh, q_len, d = q.shape
     kv_len = k.shape[1]
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (bh, Lq)
@@ -275,7 +375,8 @@ def _flash_bwd_impl(q, k, v, kv_lengths, out, lse, do, scale, logit_bias, is_cau
 
     common = dict(scale=scale, logit_bias=logit_bias, causal=is_causal,
                   q_len=q_len, kv_len=kv_len, block_q=bq, block_k=bk,
-                  q_seq=q_seq if q_seq is not None else max(q_len, 1))
+                  q_seq=q_seq if q_seq is not None else max(q_len, 1),
+                  full_kv=full_kv and nk * bk == kv_len)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **common),
         grid=(bh, nq, nk),
@@ -326,23 +427,27 @@ def _flash_bwd_impl(q, k, v, kv_lengths, out, lse, do, scale, logit_bias, is_cau
     return dq[:, :q_len], dk[:, :kv_len], dv[:, :kv_len]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
-def _flash_bhld(q, k, v, kv_lengths, scale, logit_bias, is_causal, block_q, block_k, interpret, q_seq=None):
-    out, _ = _flash_fwd_impl(q, k, v, kv_lengths, scale, logit_bias, is_causal, block_q, block_k, interpret, q_seq)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+def _flash_bhld(q, k, v, kv_lengths, scale, logit_bias, is_causal, block_q, block_k, interpret, q_seq=None,
+                full_kv=False):
+    out, _ = _flash_fwd_impl(q, k, v, kv_lengths, scale, logit_bias, is_causal, block_q, block_k, interpret, q_seq,
+                             full_kv)
     return out
 
 
-def _flash_bhld_fwd(q, k, v, kv_lengths, scale, logit_bias, is_causal, block_q, block_k, interpret, q_seq=None):
-    out, lse = _flash_fwd_impl(q, k, v, kv_lengths, scale, logit_bias, is_causal, block_q, block_k, interpret, q_seq)
+def _flash_bhld_fwd(q, k, v, kv_lengths, scale, logit_bias, is_causal, block_q, block_k, interpret, q_seq=None,
+                    full_kv=False):
+    out, lse = _flash_fwd_impl(q, k, v, kv_lengths, scale, logit_bias, is_causal, block_q, block_k, interpret, q_seq,
+                               full_kv)
     return out, (q, k, v, kv_lengths, out, lse)
 
 
-def _flash_bhld_bwd(scale, logit_bias, is_causal, block_q, block_k, interpret, q_seq, res, do):
+def _flash_bhld_bwd(scale, logit_bias, is_causal, block_q, block_k, interpret, q_seq, full_kv, res, do):
     import numpy as _np
 
     q, k, v, kv_lengths, out, lse = res
     dq, dk, dv = _flash_bwd_impl(q, k, v, kv_lengths, out, lse, do, scale, logit_bias,
-                                 is_causal, block_q, block_k, interpret, q_seq)
+                                 is_causal, block_q, block_k, interpret, q_seq, full_kv)
     dlen = _np.zeros(kv_lengths.shape, jax.dtypes.float0)
     return dq, dk, dv, dlen
 
@@ -388,7 +493,8 @@ def flash_attention(
     else:
         reps = bh // kv_lengths.shape[0]
         lens = jnp.repeat(kv_lengths.astype(jnp.int32), reps)
-    out = _flash_bhld(q3, k3, v3, lens, scale, logit_bias, is_causal, block_q, block_k, interpret)
+    out = _flash_bhld(q3, k3, v3, lens, scale, logit_bias, is_causal, block_q, block_k, interpret,
+                      None, kv_lengths is None)
     return out.reshape(lead + out.shape[-2:])
 
 
@@ -433,5 +539,5 @@ def flash_attention_gqa(
     else:
         lens = jnp.repeat(kv_lengths.astype(jnp.int32), KVH)
     out = _flash_bhld(q2, k2, v2, lens, float(scale), float(logit_bias),
-                      is_causal, block_q, block_k, interpret, L)
+                      is_causal, block_q, block_k, interpret, L, kv_lengths is None)
     return out.reshape(b, KVH, g, L, d).reshape(b, H, L, d)

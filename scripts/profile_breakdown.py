@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--flash", default=None, help="set HICOM_FLASH_ATTENTION")
     ap.add_argument("--decode-len", type=int, default=1024, help="cache fill for the decode-step timing")
+    ap.add_argument("--tower-quant", choices=("none", "w8a8", "w8a8_mlp"), default="none",
+                    help="profile the quantized serving tower (models/quant.py)")
     args = ap.parse_args()
     if args.flash is not None:
         os.environ["HICOM_FLASH_ATTENTION"] = args.flash
@@ -61,7 +63,8 @@ def main():
                 num_hidden_layers=28, num_attention_heads=12, num_key_value_heads=2,
                 head_dim=128, rope_theta=1000000.0,
             ),
-            vision_config=SiglipVisionConfig(),
+            vision_config=SiglipVisionConfig(
+                quantization=None if args.tower_quant == "none" else args.tower_quant),
             guide_text_config=SiglipTextConfig(),
             mm_vision_tower="google/siglip-so400m-patch14-384",
             mm_projector_type="local43_global32",
@@ -86,16 +89,9 @@ def main():
         lambda r: model.init(r, init_ids, frames[:1, :1], guide_ids=gids[:1], modal="video")["params"],
         jax.random.PRNGKey(0),
     )
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    from bench import random_params_like
 
-    @jax.jit
-    def make_params(key):
-        keys = jax.random.split(key, len(leaves))
-        return jax.tree_util.tree_unflatten(
-            treedef, [jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02 for k, s in zip(keys, leaves)]
-        )
-
-    params = make_params(jax.random.PRNGKey(0))
+    params = random_params_like(shapes)  # dtype-aware (int8 quantized kernels)
 
     # ---- stage inputs (computed once, then timed per stage) ----
     def stage_tower(params, frames):
@@ -174,7 +170,8 @@ def main():
     }
     total = times["vision_tower_ms"] + times["guide_encode_ms"] + times["compression_ms"] + times["splice_prefill_ms"]
     out = {
-        "config": "tiny" if args.small else "so400m+qwen2.5-1.5B",
+        "config": "tiny" if args.small else "so400m+qwen2.5-1.5B" + (
+            "" if args.tower_quant == "none" else f"-{args.tower_quant}tower"),
         "batch": b, "frames": t, "chain": args.chain,
         "flash": os.environ.get("HICOM_FLASH_ATTENTION", "1"),
         "times_ms": {k: round(v, 3) for k, v in times.items()},

@@ -40,6 +40,10 @@ from hicom_tpu.constants import VIDEO_TOKEN_INDEX
 from hicom_tpu.models.hicom import HIComModel
 
 
+_SHARED = {}  # non-tower params, shared across arms (device buffers) — three
+# full 1.5B param sets OOM a 16GB chip; only the tower subtree differs per arm
+
+
 def build_arm(tower_quant, aligned=False):
     """Returns a zero-arg timed callable (compiled + warmed)."""
     if aligned:
@@ -59,7 +63,11 @@ def build_arm(tower_quant, aligned=False):
     shapes = jax.eval_shape(
         lambda r: model.init(r, init_ids, frames[:1, :1], guide_ids=gids[:1], modal="video")["params"],
         jax.random.PRNGKey(0))
-    params = random_params_like(shapes)
+    if not _SHARED:
+        _SHARED.update(random_params_like(
+            {k: v for k, v in shapes.items() if k != "vision_tower"}))
+    params = dict(_SHARED)
+    params["vision_tower"] = random_params_like(shapes["vision_tower"])
 
     def pipeline(params, input_ids, frames, gids):
         def run(m):
