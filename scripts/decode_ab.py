@@ -8,8 +8,14 @@ from hicom_tpu.profiling import device_time
 CACHE_LEN = int(os.environ.get("AB_CACHE_LEN", "1024"))
 INT8 = os.environ.get("AB_INT8", "0") == "1"
 MODEL = os.environ.get("AB_MODEL", "1.5b")
+# decoder weight quantization override: "" keeps the model default
+# ("int8" for 7b, bf16 for 1.5b); "nf4" packs the weight stream to ~4.2 bits
+# (QuantDense4) — decode is weight-streaming-bound, so halving the stream vs
+# int8 raises the b=1 ceiling ~2x (VERDICT r1 item 6).
+WQ = os.environ.get("AB_WQ", "")
 
-cfg = serving_config(MODEL, kv_cache_int8=INT8)
+cfg = serving_config(MODEL, kv_cache_int8=INT8,
+                     **({"quantization": WQ or None} if WQ else {}))
 model = HIComModel(config=cfg)
 rng = np.random.default_rng(0)
 from hicom_tpu.constants import VIDEO_TOKEN_INDEX
@@ -41,7 +47,7 @@ def feedback(out, a):
 
 t = device_time(step, params, emb, cache, pos, iters=3, chain=16, feedback=feedback)
 import json
-print(json.dumps({"cache_len": CACHE_LEN, "int8": INT8,
+print(json.dumps({"cache_len": CACHE_LEN, "int8": INT8, "wq": WQ or "default",
                   "flash_decode": os.environ.get("HICOM_FLASH_DECODE", "0"),
                   "ms_per_step": round(t*1e3, 3), "tok_per_s": round(1/t, 1)}))
 
