@@ -31,6 +31,22 @@ def frame_sample(duration: int, mode: str = "uniform", num_frames: Optional[int]
     raise ValueError(f"unsupported frame sampling mode: {mode}")
 
 
+def _open_native(video_path: str):
+    """Native libav reader (decord analogue, native/videoreader.cpp) when
+    built; None → caller falls back to cv2. Cached per call site is
+    unnecessary: open cost is one avformat header parse."""
+    from .native_video import VideoReader, native_video_available
+
+    if not native_video_available():
+        return None
+    try:
+        return VideoReader(video_path)
+    except IOError:
+        # unreadable through libav: let cv2 produce its (possibly better)
+        # error; a genuinely corrupt file raises loudly either way
+        return None
+
+
 def _read_frames_cv2(video_path: str, indices: List[int]) -> List[Image.Image]:
     import cv2
 
@@ -119,8 +135,13 @@ def process_video(
             fps, n_total = 25, len(gif)
             reader = "gif"
         else:
-            fps, n_total = _video_meta_cv2(video_path)
-            reader = "cv2"
+            native = _open_native(video_path)
+            if native is not None:
+                fps, n_total = native.get_avg_fps(), len(native)
+                reader = "native"
+            else:
+                fps, n_total = _video_meta_cv2(video_path)
+                reader = "cv2"
 
         f_start = 0 if s is None else max(int(s * fps) - 1, 0)
         f_end = n_total - 1 if e is None else min(int(e * fps) - 1, n_total - 1)
@@ -143,6 +164,9 @@ def process_video(
                 for idx, frame in enumerate(gif)
                 if idx in sampled_set
             ]
+        elif reader == "native":
+            with native:
+                video_data = [Image.fromarray(f) for f in native.get_batch(sampled)]
         else:
             video_data = _read_frames_cv2(video_path, sampled)
     elif isinstance(video_path, np.ndarray):
