@@ -23,21 +23,43 @@ def _ckpt_dir(output_dir: str) -> str:
     return os.path.join(os.path.abspath(output_dir), "checkpoints")
 
 
+_MANAGERS: dict = {}  # persistent per-dir managers so async commits survive calls
+
+
 def _manager(output_dir: str, max_to_keep: int = 3):
     import orbax.checkpoint as ocp
 
-    return ocp.CheckpointManager(
-        _ckpt_dir(output_dir),
-        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
-    )
+    key = (_ckpt_dir(output_dir), max_to_keep)
+    if key not in _MANAGERS:
+        _MANAGERS[key] = ocp.CheckpointManager(
+            key[0],
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+        )
+    return _MANAGERS[key]
 
 
-def save_checkpoint(output_dir: str, state: Any, step: int, max_to_keep: int = 3) -> None:
+def save_checkpoint(output_dir: str, state: Any, step: int, max_to_keep: int = 3,
+                    wait: bool = False) -> None:
+    """Async by default: orbax snapshots device arrays and commits on a
+    background thread, so the train loop keeps stepping during the write (the
+    ZeRO-gather + rank-0 torch.save in the reference's ``_save_checkpoint``
+    blocks training instead, hicom_trainer.py:347-392). A subsequent save —
+    or ``finalize_checkpoints`` at train end — joins the pending commit;
+    ``wait=True`` restores blocking semantics."""
     import orbax.checkpoint as ocp
 
     mgr = _manager(output_dir, max_to_keep)
     mgr.save(step, args=ocp.args.StandardSave(state))
-    mgr.wait_until_finished()
+    if wait:
+        mgr.wait_until_finished()
+
+
+def finalize_checkpoints(output_dir: str) -> None:
+    """Join any pending async checkpoint commit (call before process exit /
+    before reading the checkpoint back)."""
+    for (root, _), mgr in list(_MANAGERS.items()):
+        if root == _ckpt_dir(output_dir):
+            mgr.wait_until_finished()
 
 
 def latest_valid_step(output_dir: str) -> Optional[int]:

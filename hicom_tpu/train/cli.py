@@ -399,9 +399,11 @@ def main(argv=None):
                             mf.write(json.dumps({"step": step, "loss": loss, "it_per_s": rate,
                                                  "time": time.time()}) + "\n")
                 if step % args.save_steps == 0:
-                    # orbax handles sharded global arrays (all hosts participate)
-                    save_checkpoint(args.output_dir,
-                                    state if n_proc > 1 else jax.device_get(state), step)
+                    # orbax handles sharded global arrays (all hosts
+                    # participate); pass device arrays so the async commit
+                    # overlaps the next train steps instead of blocking on a
+                    # synchronous device_get here
+                    save_checkpoint(args.output_dir, state, step)
                 if step >= total_steps * args.gradient_accumulation_steps:
                     break
             if not made_progress:
@@ -410,7 +412,9 @@ def main(argv=None):
                     "reduce batch size or devices"
                 )
 
-        save_checkpoint(args.output_dir, state if n_proc > 1 else jax.device_get(state), step)
+        # final save blocks: the process may exit right after the exports
+        save_checkpoint(args.output_dir, state if n_proc > 1 else jax.device_get(state),
+                        step, wait=True)
         tunable = set(args.mm_tunable_parts.split(","))
         # exports gather to host 0 (params are modest: projector MBs, 7B LLM
         # fits host RAM); multi-host gathers via allgather-to-replicated
