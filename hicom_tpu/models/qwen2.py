@@ -280,6 +280,7 @@ class DecoderAttention(nn.Module):
         prefill_from_empty: bool = False,  # static: cache known empty → attend current tokens only
         padding_right_aligned: bool = True,  # static: padding_mask is a per-row suffix
         cache_scales: Optional[Tuple[Array, Array]] = None,  # int8 cache: (b, KVH, S) each
+        per_slot: bool = False,  # static: rows are independent serving slots (L==1)
     ):
         b, L, _ = x.shape
         H, KVH, hd = self.num_heads, self.num_kv_heads, self.head_dim
@@ -300,20 +301,38 @@ class DecoderAttention(nn.Module):
         if cache_kv is not None:
             ck, cv = cache_kv
             S = ck.shape[2]
-            # contiguous fill: all samples share the write offset (= length[0]);
-            # per-sample validity is handled by the mask below.
-            offset = cache_length[0]
-            if cache_scales is not None:
-                kq, ks = quantize_kv(k)
-                vq, vs = quantize_kv(v)
-                ck = jax.lax.dynamic_update_slice(ck, kq, (0, 0, offset, 0))
-                cv = jax.lax.dynamic_update_slice(cv, vq, (0, 0, offset, 0))
-                cks = jax.lax.dynamic_update_slice(cache_scales[0], ks, (0, 0, offset))
-                cvs = jax.lax.dynamic_update_slice(cache_scales[1], vs, (0, 0, offset))
-                new_cache_scales = (cks, cvs)
+            if per_slot:
+                # continuous-batching decode: each row is an independent
+                # serving slot with its own write offset (serve.py engine);
+                # one-token steps only.
+                assert L == 1, "per_slot decode requires single-token steps"
+                row_upd3 = jax.vmap(lambda c, off, new: jax.lax.dynamic_update_slice(c, new, (0, off, 0)))
+                row_upd2 = jax.vmap(lambda c, off, new: jax.lax.dynamic_update_slice(c, new, (0, off)))
+                if cache_scales is not None:
+                    kq, ks = quantize_kv(k)
+                    vq, vs = quantize_kv(v)
+                    ck = row_upd3(ck, cache_length, kq)
+                    cv = row_upd3(cv, cache_length, vq)
+                    new_cache_scales = (row_upd2(cache_scales[0], cache_length, ks),
+                                        row_upd2(cache_scales[1], cache_length, vs))
+                else:
+                    ck = row_upd3(ck, cache_length, k)
+                    cv = row_upd3(cv, cache_length, v)
             else:
-                ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, offset, 0))
-                cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, offset, 0))
+                # contiguous fill: all samples share the write offset
+                # (= length[0]); per-sample validity is handled by the mask.
+                offset = cache_length[0]
+                if cache_scales is not None:
+                    kq, ks = quantize_kv(k)
+                    vq, vs = quantize_kv(v)
+                    ck = jax.lax.dynamic_update_slice(ck, kq, (0, 0, offset, 0))
+                    cv = jax.lax.dynamic_update_slice(cv, vq, (0, 0, offset, 0))
+                    cks = jax.lax.dynamic_update_slice(cache_scales[0], ks, (0, 0, offset))
+                    cvs = jax.lax.dynamic_update_slice(cache_scales[1], vs, (0, 0, offset))
+                    new_cache_scales = (cks, cvs)
+                else:
+                    ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, offset, 0))
+                    cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, offset, 0))
             new_cache_kv = (ck, cv)
             if prefill_from_empty:
                 # cache known empty: attend within the L new tokens only —
@@ -342,7 +361,10 @@ class DecoderAttention(nn.Module):
                     # dequantizing in VMEM — no bf16 cache copy in HBM
                     from ..ops.flash_decode import flash_decode
 
-                    slot_mask = cache_valid & (jnp.arange(S)[None, :] <= offset)
+                    # per_slot: append-only rows mark exactly the attendable
+                    # slots valid (each row's newest bit set by the caller)
+                    slot_mask = cache_valid if per_slot else (
+                        cache_valid & (jnp.arange(S)[None, :] <= cache_length[0]))
                     scales = new_cache_scales or (None, None)
                     out = flash_decode(
                         q, ck, cv, slot_mask,
@@ -352,10 +374,13 @@ class DecoderAttention(nn.Module):
                     out = out.transpose(0, 2, 1, 3).reshape(b, L, H * hd)
                     out = make_dense(self.quantized, self.hidden_size, False, self.dtype, "o_proj")(out)
                     return out, new_cache_kv, new_cache_scales
-                kv_slot = jnp.arange(S)[None, None, None, :]  # (1, 1, 1, S)
-                q_slot = (offset + jnp.arange(L))[None, None, :, None]  # (1, 1, L, 1)
-                mask = kv_slot <= q_slot
-                mask = mask & cache_valid[:, None, None, :]
+                if per_slot:
+                    mask = cache_valid[:, None, None, :]
+                else:
+                    kv_slot = jnp.arange(S)[None, None, None, :]  # (1, 1, 1, S)
+                    q_slot = (cache_length[0] + jnp.arange(L))[None, None, :, None]
+                    mask = kv_slot <= q_slot
+                    mask = mask & cache_valid[:, None, None, :]
                 if new_cache_scales is not None:
                     # dequant fuses into the attention read (int8 stream + mul)
                     k_att = dequantize_kv(ck, new_cache_scales[0], self.dtype)
@@ -408,7 +433,7 @@ class DecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, positions, cache_kv=None, cache_length=None, cache_valid=None,
                  padding_mask=None, prefill_from_empty=False, padding_right_aligned=True,
-                 cache_scales=None):
+                 cache_scales=None, per_slot=False):
         cfg = self.config
         h = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="input_layernorm")(x)
         quantized = getattr(cfg, "quantization", None)  # None | "int8" | "nf4"
@@ -417,7 +442,7 @@ class DecoderLayer(nn.Module):
             cfg.head_dim, cfg.rope_theta, cfg.attention_bias, quantized,
             dtype=self.dtype, name="self_attn",
         )(h, positions, cache_kv, cache_length, cache_valid, padding_mask, prefill_from_empty,
-          padding_right_aligned, cache_scales)
+          padding_right_aligned, cache_scales, per_slot)
         x = x + attn_out
         h = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="post_attention_layernorm")(x)
         x = x + DecoderMLP(cfg.hidden_size, cfg.intermediate_size, quantized, dtype=self.dtype, name="mlp")(h)
@@ -431,6 +456,7 @@ class DecoderLayerScanned(nn.Module):
     prefill_from_empty: bool = False
     padding_right_aligned: bool = True
     use_cache: bool = False
+    per_slot: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -441,6 +467,7 @@ class DecoderLayerScanned(nn.Module):
         x, new_kv, new_scales = layer(
             x, positions, cache_kv, cache_length, cache_valid, padding_mask,
             self.prefill_from_empty, self.padding_right_aligned, cache_scales,
+            self.per_slot,
         )
         if not self.use_cache:
             out = (jnp.zeros((), x.dtype), jnp.zeros((), x.dtype))
@@ -466,7 +493,7 @@ class Qwen2Model(nn.Module):
             # remat: recompute each block's activations in the backward pass
             # (static_argnums count self as 0 → the python booleans are 7/8)
             layer_cls = (
-                nn.remat(DecoderLayer, static_argnums=(7, 8))
+                nn.remat(DecoderLayer, static_argnums=(7, 8, 10))
                 if getattr(cfg, "remat", False) else DecoderLayer
             )
             self.layers = [
@@ -486,13 +513,20 @@ class Qwen2Model(nn.Module):
         padding_mask: Optional[Array] = None,
         prefill_from_empty: bool = False,
         padding_right_aligned: bool = True,
+        per_slot: bool = False,
     ) -> Tuple[Array, Optional[KVCache]]:
         x = inputs_embeds.astype(self.dtype)
         b, L = inputs_embeds.shape[:2]
         cache_valid = None
         if cache is not None:
-            step_valid = padding_mask.astype(bool) if padding_mask is not None else jnp.ones((b, L), bool)
-            cache_valid = jax.lax.dynamic_update_slice(cache.valid, step_valid, (0, cache.length[0]))
+            if per_slot:
+                # independent serving slots (serve.py): mark each row's own
+                # write offset valid (single-token steps)
+                assert L == 1, "per_slot decode requires single-token steps"
+                cache_valid = cache.valid.at[jnp.arange(b), cache.length].set(True)
+            else:
+                step_valid = padding_mask.astype(bool) if padding_mask is not None else jnp.ones((b, L), bool)
+                cache_valid = jax.lax.dynamic_update_slice(cache.valid, step_valid, (0, cache.length[0]))
 
         quant_cache = cache is not None and cache.k_scale is not None
         if getattr(self.config, "scan_layers", False):
@@ -510,7 +544,7 @@ class Qwen2Model(nn.Module):
                 out_axes=0,
                 length=self.config.num_hidden_layers,
             )(self.config, prefill_from_empty, padding_right_aligned, use_cache,
-              dtype=self.dtype, name="layers")
+              per_slot, dtype=self.dtype, name="layers")
             if not use_cache:
                 kv_in = (None, None)
             elif quant_cache:
@@ -537,7 +571,7 @@ class Qwen2Model(nn.Module):
                 x, positions, cache_kv,
                 cache.length if cache is not None else None,
                 cache_valid, padding_mask, prefill_from_empty, padding_right_aligned,
-                scales,
+                scales, per_slot,
             )
             if new_cache_kv is not None:
                 new_k.append(new_cache_kv[0])

@@ -1,0 +1,327 @@
+"""Continuous-batching serving engine (slot-based, static shapes).
+
+The reference serves ``mm_infer`` one request at a time (HF ``generate``,
+``/root/reference/hicom/__init__.py:40-121``); decode is weight-streaming
+bound, so single-request serving leaves most of the chip idle. This engine
+keeps ``n_slots`` independent sequences in ONE persistent KV cache and runs a
+single jitted multi-step decode over all slots — one weight stream amortized
+over every active request — while requests join and leave between rounds
+(vLLM-style continuous batching, restructured for XLA's static shapes):
+
+* one compiled **prefill** per (modal, prompt-bucket): encodes a request's
+  video/image + guide, splices, fills a 1-row cache, samples its first token;
+* one compiled **insert** that copies the 1-row cache into a free slot of the
+  engine cache (``lax.dynamic_update_slice`` at a traced slot index);
+* one compiled **decode round** of ``sync_steps`` tokens for all slots
+  (``lax.scan``; per-slot write offsets via ``per_slot=True`` decode — each
+  row has its own length/validity, finished rows are frozen in place);
+* a host scheduler that admits queued requests into freed slots, harvests
+  finished streams (eos / keyword / budget), and syncs once per round — the
+  right shape for the 30ms-round-trip TPU relay.
+
+Single video/image per request (the multi-image K-sentinel batch path in
+train/dataset.py is a training feature); keyword stops are applied at round
+granularity like the API layer's post-decode trim, so returned text matches
+``mm_infer`` with ``stop_strings``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.generate import sample_token
+from .models.qwen2 import KVCache
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass
+class GenRequest:
+    input_ids: np.ndarray  # (L,) prompt ids with modal sentinel(s) spliced in
+    frames: Optional[np.ndarray] = None  # (t, 3, H, W) preprocessed pixels
+    guide_ids: Optional[np.ndarray] = None  # (Lg,) tokenized guide text
+    modal: str = "text"
+    max_new_tokens: int = 64
+    stop_sequences: Tuple[Tuple[int, ...], ...] = ()
+
+
+@dataclasses.dataclass
+class GenResult:
+    tokens: np.ndarray  # generated ids, trimmed at eos/keyword/budget
+    prompt_len: int
+    steps: int  # decode rounds the request was resident for
+
+
+@dataclasses.dataclass
+class _Slot:
+    request_id: int = -1
+    budget: int = 0
+    generated: List[int] = dataclasses.field(default_factory=list)
+    stop_sequences: Tuple[Tuple[int, ...], ...] = ()
+    rounds: int = 0
+    prompt_len: int = 0
+
+
+class ServeEngine:
+    def __init__(
+        self,
+        model,
+        variables,
+        *,
+        n_slots: int = 4,
+        cache_len: int = 512,
+        prompt_buckets: Tuple[int, ...] = (32, 64, 128),
+        guide_len: int = 32,
+        sync_steps: int = 8,
+        temperature: float = 0.0,
+        top_p: float = 0.9,
+        eos_token_id: int = 0,
+        pad_token_id: int = 0,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.variables = variables
+        self.n_slots = n_slots
+        self.cache_len = cache_len
+        self.prompt_buckets = tuple(sorted(prompt_buckets))
+        self.guide_len = guide_len
+        self.sync_steps = sync_steps
+        self.temperature = temperature
+        self.top_p = top_p
+        self.eos_token_id = eos_token_id
+        self.pad_token_id = pad_token_id
+
+        tc = model.config.text_config
+        self._quantized_cache = bool(getattr(tc, "kv_cache_int8", False))
+        self.cache = KVCache.zeros(
+            tc.num_hidden_layers, n_slots, tc.num_key_value_heads, cache_len,
+            tc.head_dim, jnp.dtype(model.config.dtype), quantized=self._quantized_cache)
+        self._cur = np.full((n_slots,), eos_token_id, np.int32)
+        self._pos = np.zeros((n_slots,), np.int32)
+        self._done = np.ones((n_slots,), bool)  # empty slots are "done"
+        self._rng = jax.random.PRNGKey(seed)
+
+        self._slots = [_Slot() for _ in range(n_slots)]
+        self._queue: deque = deque()
+        self._results: Dict[int, GenResult] = {}
+        self._next_id = 0
+        self._prefill_fns: dict = {}
+        self._steps_fn = None
+
+    # ------------------------------------------------------------- scheduling
+
+    def submit(self, request: GenRequest) -> int:
+        L = len(request.input_ids)
+        bucket = self._bucket_for(L)
+        if bucket is None:
+            raise ValueError(f"prompt length {L} exceeds the largest bucket "
+                             f"{self.prompt_buckets[-1]}")
+        if bucket + request.max_new_tokens > self.cache_len:
+            raise ValueError(
+                f"bucket {bucket} + max_new_tokens {request.max_new_tokens} "
+                f"exceeds cache_len {self.cache_len}")
+        rid = self._next_id
+        self._next_id += 1
+        self._queue.append((rid, request))
+        return rid
+
+    def run(self) -> Dict[int, GenResult]:
+        """Process until queue and slots drain; returns {request_id: result}."""
+        while self._queue or any(s.request_id >= 0 for s in self._slots):
+            self.step_round()
+        out, self._results = self._results, {}
+        return out
+
+    def step_round(self) -> None:
+        """One scheduler round: admit into free slots, decode ``sync_steps``
+        tokens for every slot in one device program, harvest finished."""
+        self._admit()
+        if not any(s.request_id >= 0 for s in self._slots):
+            return
+        if self._steps_fn is None:
+            self._steps_fn = self._make_steps(self.sync_steps)
+        self._rng, sub = jax.random.split(self._rng)
+        self.cache, cur, pos, done, toks = self._steps_fn(
+            self.variables, self.cache, jnp.asarray(self._cur),
+            jnp.asarray(self._pos), jnp.asarray(self._done), sub)
+        # ONE host sync per round (relay round-trips dominate at small models)
+        toks = np.asarray(toks)
+        self._cur = np.array(cur)  # np.array: writable copies (asarray views
+        self._pos = np.array(pos)  # of jax buffers are read-only)
+        self._done = np.array(done)
+        self._harvest(toks)
+
+    # -------------------------------------------------------------- internals
+
+    def _bucket_for(self, L: int) -> Optional[int]:
+        for b in self.prompt_buckets:
+            if L <= b:
+                return b
+        return None
+
+    def _admit(self) -> None:
+        for slot_idx, slot in enumerate(self._slots):
+            if not self._queue:
+                return
+            if slot.request_id >= 0:
+                continue
+            rid, req = self._queue.popleft()
+            first_tok, small_cache, true_len = self._prefill(req)
+            self.cache = self._insert(self.cache, small_cache, slot_idx)
+            self._cur[slot_idx] = first_tok
+            self._pos[slot_idx] = true_len
+            done = (first_tok == self.eos_token_id) or req.max_new_tokens <= 1
+            self._done[slot_idx] = done
+            self._slots[slot_idx] = _Slot(
+                request_id=rid, budget=req.max_new_tokens,
+                generated=[int(first_tok)] if first_tok != self.eos_token_id else [],
+                stop_sequences=tuple(tuple(s) for s in req.stop_sequences),
+                prompt_len=len(req.input_ids))
+            if done:
+                self._finish(slot_idx)
+
+    def _prefill(self, req: GenRequest):
+        L = len(req.input_ids)
+        bucket = self._bucket_for(L)
+        has_frames = req.frames is not None
+        t = int(req.frames.shape[0]) if has_frames else 0
+        key = (req.modal, bucket, t)
+        if key not in self._prefill_fns:
+            self._prefill_fns[key] = self._make_prefill(req.modal, has_frames)
+        ids = np.full((1, bucket), self.pad_token_id, np.int32)
+        ids[0, :L] = req.input_ids
+        mask = np.zeros((1, bucket), bool)
+        mask[0, :L] = True
+        frames = jnp.asarray(req.frames[None]) if has_frames else None
+        gids = gmask = None
+        if self.model.config.guide_enabled() and has_frames:
+            g = np.zeros((1, self.guide_len), np.int32)
+            gm = np.zeros((1, self.guide_len), bool)
+            if req.guide_ids is not None:
+                Lg = min(len(req.guide_ids), self.guide_len)
+                g[0, :Lg] = req.guide_ids[:Lg]
+                gm[0, :Lg] = True
+            gids, gmask = jnp.asarray(g), jnp.asarray(gm)
+        self._rng, sub = jax.random.split(self._rng)
+        logits, cache, true_len = self._prefill_fns[key](
+            self.variables, jnp.asarray(ids), jnp.asarray(mask), frames, gids, gmask)
+        first = sample_token(logits, sub, self.temperature, self.top_p)
+        return int(first[0]), cache, int(true_len[0])
+
+    def _make_prefill(self, modal: str, has_frames: bool):
+        model = self.model
+        cache_len = self.cache_len
+        quantized = self._quantized_cache
+
+        def prefill(variables, input_ids, attn_mask, frames, guide_ids, guide_mask):
+            def run(m):
+                visual = None
+                if has_frames:
+                    guide_embeds = None
+                    if m.config.guide_enabled():
+                        guide_embeds = m.encode_guide(guide_ids, guide_mask)
+                    visual = m.encode_visual(frames, guide_embeds, modal)
+                spliced = m.embed_and_splice(input_ids, visual, attn_mask)
+                tc = m.config.text_config
+                cache = KVCache.zeros(
+                    tc.num_hidden_layers, 1, tc.num_key_value_heads, cache_len,
+                    tc.head_dim, jnp.dtype(m.config.dtype), quantized=quantized)
+                hidden, cache = m.language_model.model(
+                    spliced.embeds, spliced.positions, cache,
+                    padding_mask=spliced.attention_mask, prefill_from_empty=True)
+                true_len = jnp.sum(spliced.attention_mask.astype(jnp.int32), axis=1)
+                last = jnp.take_along_axis(hidden, (true_len - 1)[:, None, None], axis=1)
+                return m.language_model.logits(last)[:, 0], cache, true_len
+
+            return model.apply(variables, method=run)
+
+        return jax.jit(prefill)
+
+    @staticmethod
+    @jax.jit
+    def _insert(big: KVCache, small: KVCache, slot) -> KVCache:
+        """Copy a 1-row prefill cache into engine slot ``slot``."""
+        k = jax.lax.dynamic_update_slice(big.k, small.k, (0, slot, 0, 0, 0))
+        v = jax.lax.dynamic_update_slice(big.v, small.v, (0, slot, 0, 0, 0))
+        length = jax.lax.dynamic_update_slice(big.length, small.length, (slot,))
+        valid = jax.lax.dynamic_update_slice(big.valid, small.valid, (slot, 0))
+        ks = vs = None
+        if big.k_scale is not None:
+            ks = jax.lax.dynamic_update_slice(big.k_scale, small.k_scale, (0, slot, 0, 0))
+            vs = jax.lax.dynamic_update_slice(big.v_scale, small.v_scale, (0, slot, 0, 0))
+        return KVCache(k, v, length, valid, ks, vs)
+
+    def _make_steps(self, k: int):
+        model = self.model
+        temperature, top_p, eos = self.temperature, self.top_p, self.eos_token_id
+
+        def steps(variables, cache, cur, pos, done, rng):
+            def run(m):
+                def body(carry, _):
+                    cache, cur, pos, done, rng = carry
+                    emb = m.language_model.embed(cur[:, None])
+                    hidden, c2 = m.language_model.model(
+                        emb, pos[:, None], cache, per_slot=True)
+                    # finished/idle slots: freeze the write offset so they
+                    # can't creep toward cache_len while waiting for reuse
+                    c2 = c2._replace(length=jnp.where(done, cache.length, c2.length))
+                    logits = m.language_model.logits(hidden)[:, 0]
+                    rng, sub = jax.random.split(rng)
+                    tok = sample_token(logits, sub, temperature, top_p).astype(jnp.int32)
+                    tok = jnp.where(done, eos, tok)
+                    done2 = done | (tok == eos)
+                    pos2 = jnp.where(done, pos, pos + 1)
+                    return (c2, tok, pos2, done2, rng), tok
+
+                carry, toks = jax.lax.scan(
+                    body, (cache, cur, pos, done, rng), None, length=k)
+                c_cache, c_cur, c_pos, c_done, _ = carry
+                return c_cache, c_cur, c_pos, c_done, toks.T  # toks: (n_slots, k)
+
+            return model.apply(variables, method=run)
+
+        return jax.jit(steps)
+
+    def _harvest(self, toks: np.ndarray) -> None:
+        for slot_idx, slot in enumerate(self._slots):
+            if slot.request_id < 0:
+                continue
+            slot.rounds += 1
+            finished = False
+            for t in toks[slot_idx]:
+                t = int(t)
+                if t == self.eos_token_id:
+                    finished = True
+                    break
+                slot.generated.append(t)
+                if len(slot.generated) >= slot.budget:
+                    finished = True
+                    break
+            # keyword stop (round granularity — same returned text as the
+            # API layer's post-decode trim in mm_infer)
+            for seq in slot.stop_sequences:
+                n = len(seq)
+                for i in range(len(slot.generated) - n + 1):
+                    if tuple(slot.generated[i:i + n]) == seq:
+                        slot.generated = slot.generated[:i]
+                        finished = True
+                        break
+                if finished:
+                    break
+            if finished or self._done[slot_idx]:
+                self._finish(slot_idx)
+
+    def _finish(self, slot_idx: int) -> None:
+        slot = self._slots[slot_idx]
+        self._results[slot.request_id] = GenResult(
+            tokens=np.asarray(slot.generated, np.int32),
+            prompt_len=slot.prompt_len, steps=slot.rounds)
+        self._slots[slot_idx] = _Slot()
+        self._done[slot_idx] = True
+        self._cur[slot_idx] = self.eos_token_id

@@ -1,0 +1,132 @@
+"""Continuous-batching serving engine vs per-request generate_tokens.
+
+The engine must produce EXACTLY the tokens the one-shot jitted generate
+produces for each request (greedy decoding, same params): slots are
+independent, bucket padding is invisible, slot reuse leaves no residue.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hicom_tpu.config import tiny_test_config
+from hicom_tpu.constants import VIDEO_TOKEN_INDEX
+from hicom_tpu.models.generate import generate_tokens
+from hicom_tpu.models.hicom import HIComModel
+from hicom_tpu.serve import GenRequest, ServeEngine
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config()
+    model = HIComModel(config=cfg)
+    rng = np.random.default_rng(0)
+    img = cfg.vision_config.image_size
+    ids = rng.integers(5, cfg.text_config.vocab_size, (1, 10))
+    ids[:, 3] = VIDEO_TOKEN_INDEX
+    frames = rng.standard_normal((1, 4, 3, img, img)).astype(np.float32)
+    variables = {"params": model.init(
+        jax.random.PRNGKey(0), jnp.asarray(ids), jnp.asarray(frames),
+        modal="video")["params"]}
+    return cfg, model, variables
+
+
+def _reference_tokens(cfg, model, variables, req, max_new=8):
+    """Per-request greedy reference via the one-shot generate path."""
+    ids = jnp.asarray(req.input_ids[None])
+    eos = cfg.text_config.eos_token_id
+    if req.frames is not None:
+        out = generate_tokens(
+            variables, ids, jnp.asarray(req.frames[None]), None, None,
+            jax.random.PRNGKey(1), model=model, modal=req.modal,
+            max_new_tokens=max_new, eos_token_id=eos, cache_len=128,
+            has_frames=True)
+    else:
+        out = generate_tokens(
+            variables, ids, None, None, None, jax.random.PRNGKey(1),
+            model=model, modal="text", max_new_tokens=max_new,
+            eos_token_id=eos, cache_len=128, has_frames=False)
+    toks = np.asarray(out)[0].tolist()
+    trimmed = []
+    for t in toks:
+        if t == eos:
+            break
+        trimmed.append(t)
+    return trimmed
+
+
+def _video_request(cfg, seed, L=10, max_new=8):
+    rng = np.random.default_rng(seed)
+    img = cfg.vision_config.image_size
+    ids = rng.integers(5, cfg.text_config.vocab_size, (L,))
+    ids[3] = VIDEO_TOKEN_INDEX
+    frames = rng.standard_normal((4, 3, img, img)).astype(np.float32)
+    return GenRequest(input_ids=ids.astype(np.int32), frames=frames,
+                      modal="video", max_new_tokens=max_new)
+
+
+def _text_request(cfg, seed, L=7, max_new=8):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(5, cfg.text_config.vocab_size, (L,)).astype(np.int32)
+    return GenRequest(input_ids=ids, modal="text", max_new_tokens=max_new)
+
+
+def test_engine_matches_one_shot_generate(setup):
+    """More requests than slots, mixed modals and prompt lengths: every
+    request's stream equals its per-request generate output (greedy)."""
+    cfg, model, variables = setup
+    eng = ServeEngine(model, variables, n_slots=2, cache_len=128,
+                      prompt_buckets=(12, 16), sync_steps=3,
+                      eos_token_id=cfg.text_config.eos_token_id)
+    reqs = [
+        _video_request(cfg, seed=1, L=10),
+        _text_request(cfg, seed=2, L=7),
+        _video_request(cfg, seed=3, L=12),  # different bucket
+        _text_request(cfg, seed=4, L=5),    # admitted into a reused slot
+    ]
+    ids = [eng.submit(r) for r in reqs]
+    results = eng.run()
+    assert set(results) == set(ids)
+    for rid, req in zip(ids, reqs):
+        ref = _reference_tokens(cfg, model, variables, req)
+        got = results[rid].tokens.tolist()
+        assert got == ref, (rid, got, ref)
+
+
+def test_budget_truncates(setup):
+    cfg, model, variables = setup
+    req = _video_request(cfg, seed=1, max_new=3)
+    full = _reference_tokens(cfg, model, variables, _video_request(cfg, seed=1))
+    eng = ServeEngine(model, variables, n_slots=1, cache_len=128,
+                      prompt_buckets=(12,), sync_steps=4,
+                      eos_token_id=cfg.text_config.eos_token_id)
+    rid = eng.submit(req)
+    out = eng.run()[rid].tokens.tolist()
+    assert out == full[:3]
+
+
+def test_keyword_stop_trims(setup):
+    cfg, model, variables = setup
+    base = _reference_tokens(cfg, model, variables, _video_request(cfg, seed=1))
+    assert len(base) >= 3
+    seq = (base[1], base[2])
+    req = _video_request(cfg, seed=1)
+    req.stop_sequences = (seq,)
+    eng = ServeEngine(model, variables, n_slots=1, cache_len=128,
+                      prompt_buckets=(12,), sync_steps=4,
+                      eos_token_id=cfg.text_config.eos_token_id)
+    rid = eng.submit(req)
+    out = eng.run()[rid].tokens.tolist()
+    assert out == base[:1]
+
+
+def test_oversized_prompt_rejected(setup):
+    cfg, model, variables = setup
+    eng = ServeEngine(model, variables, n_slots=1, cache_len=64,
+                      prompt_buckets=(8,))
+    with pytest.raises(ValueError):
+        eng.submit(_text_request(cfg, seed=0, L=20))
+    with pytest.raises(ValueError):
+        eng.submit(_text_request(cfg, seed=0, L=8, max_new=100))
