@@ -1,0 +1,120 @@
+"""Continuous-batching serving throughput on the real chip.
+
+Measures the ServeEngine (hicom_tpu/serve.py) end-to-end: requests with real
+prompt+decode budgets stream through n_slots resident sequences, so decode's
+weight stream is amortized over every active slot and prefill interleaves
+with decoding. Reported as aggregate generated tok/s vs the b=1 sequential
+floor (the reference's serving shape: one request at a time through HF
+generate, hicom/__init__.py:40-121).
+
+Decode rounds sync once per `sync_steps` tokens — the right cadence for the
+~30ms relay round trip (CLAUDE.md). Arms run interleaved in one process so
+tenancy drift can't masquerade as a slot-count effect.
+
+Run: HICOM_SKIP_PROBE=1 python scripts/serve_bench.py         (1.5b dims)
+     AB_SLOTS=1,4,8 AB_REQS=16 python scripts/serve_bench.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+import numpy as np
+
+MODEL = os.environ.get("AB_MODEL", "1.5b")
+SLOTS = [int(s) for s in os.environ.get("AB_SLOTS", "1,4,8").split(",")]
+N_REQS = int(os.environ.get("AB_REQS", "12"))
+MAX_NEW = int(os.environ.get("AB_MAX_NEW", "64"))
+CACHE_LEN = int(os.environ.get("AB_CACHE_LEN", "1024"))
+SYNC_STEPS = int(os.environ.get("AB_SYNC", "16"))
+
+import jax
+import jax.numpy as jnp  # noqa: F401
+
+from bench import random_params_like, relay_health, serving_config
+from hicom_tpu.constants import VIDEO_TOKEN_INDEX
+from hicom_tpu.models.hicom import HIComModel
+from hicom_tpu.serve import GenRequest, ServeEngine
+
+
+def build(n_slots, cfg, model, params):
+    return ServeEngine(
+        model, {"params": params}, n_slots=n_slots, cache_len=CACHE_LEN,
+        prompt_buckets=(64,), sync_steps=SYNC_STEPS,
+        eos_token_id=cfg.text_config.eos_token_id)
+
+
+def requests(cfg, n):
+    rng = np.random.default_rng(0)
+    out = []
+    for i in range(n):
+        L = 48
+        ids = rng.integers(5, cfg.text_config.vocab_size, (L,)).astype(np.int32)
+        # text-only requests isolate the decode/scheduling effect (prefill
+        # vision cost is identical across slot counts and measured by bench.py)
+        out.append(GenRequest(input_ids=ids, modal="text", max_new_tokens=MAX_NEW))
+    return out
+
+
+def main():
+    if MODEL == "tiny":  # CPU sanity: python scripts/serve_bench.py (AB_MODEL=tiny)
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+        from hicom_tpu.config import tiny_test_config
+
+        cfg = tiny_test_config()
+        health = None
+    else:
+        health = relay_health()
+        print(f"relay_health: {health}", file=sys.stderr)
+        cfg = serving_config(MODEL)
+    model = HIComModel(config=cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(5, min(1000, cfg.text_config.vocab_size), (1, 8))).at[0, 2].set(VIDEO_TOKEN_INDEX)
+    fr = jnp.asarray(rng.standard_normal(
+        (1, 1, 3, cfg.vision_config.image_size, cfg.vision_config.image_size)), jnp.bfloat16)
+    gids = jnp.asarray(rng.integers(1, min(100, cfg.guide_text_config.vocab_size), (1, 24)))
+    shapes = jax.eval_shape(
+        lambda r: model.init(r, ids, fr, guide_ids=gids, modal="video")["params"],
+        jax.random.PRNGKey(0))
+    params = random_params_like(shapes)
+
+    # build + warm every arm first (compile outside the timing windows),
+    # then time arms interleaved
+    engines = {}
+    for s in SLOTS:
+        eng = build(s, cfg, model, params)
+        for r in requests(cfg, s):  # warm: compiles prefill + steps
+            eng.submit(r)
+        t0 = time.perf_counter()
+        eng.run()
+        print(f"  slots={s}: compiled+warmed in {time.perf_counter() - t0:.0f}s",
+              file=sys.stderr)
+        engines[s] = eng
+
+    out = {"model": MODEL, "max_new": MAX_NEW, "n_reqs": N_REQS,
+           "sync_steps": SYNC_STEPS, "relay_health": health, "arms": {}}
+    for s, eng in engines.items():
+        for r in requests(cfg, N_REQS):
+            eng.submit(r)
+        t0 = time.perf_counter()
+        results = eng.run()
+        dt = time.perf_counter() - t0
+        toks = sum(len(r.tokens) + 1 for r in results.values())  # + eos step
+        out["arms"][str(s)] = {
+            "wall_s": round(dt, 2),
+            "tok_per_s": round(toks / dt, 1),
+            "req_per_s": round(len(results) / dt, 2),
+        }
+        print(f"slots={s}: {out['arms'][str(s)]}", file=sys.stderr)
+    base = out["arms"].get("1", {}).get("tok_per_s")
+    if base:
+        for s in out["arms"]:
+            out["arms"][s]["vs_sequential"] = round(out["arms"][s]["tok_per_s"] / base, 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
