@@ -638,3 +638,88 @@ def mm_infer(
     # mm_utils.py:705-708, applied post-hoc)
     eos_str = tokenizer.decode([model.eos_token_id], skip_special_tokens=False)
     return _trim_at_keywords(text, [eos_str] + stop_strings)
+
+
+def mm_serve(
+    samples,
+    model: HICom,
+    tokenizer,
+    modal: str = "video",
+    n_slots: int = 4,
+    cache_len: Optional[int] = None,
+    sync_steps: int = 16,
+    prompt_buckets=(64, 128, 256, 512),
+    **kwargs,
+) -> list:
+    """Continuous-batching generation over mixed requests → response strings
+    in submission order.
+
+    The serving analogue of calling ``mm_infer`` per sample (reference
+    ``hicom/__init__.py:40-124``, one HF ``generate`` at a time): requests
+    stream through ``n_slots`` resident sequences of one ServeEngine, so the
+    decode weight stream is amortized across every active request and a
+    finished slot is immediately refilled from the queue (``serve.py``).
+
+    ``samples``: list of dicts with keys ``instruct`` (str), and optionally
+    ``tensor`` (preprocessed (t,3,H,W) pixels; None/absent = text-only),
+    ``modal``, ``guide_instruct`` / ``guide_ids``, ``max_new_tokens``.
+    Shared generation kwargs: ``max_new_tokens``, ``do_sample``,
+    ``temperature``, ``top_p``, ``stop_strings``.
+    """
+    from .models.generate import keyword_token_sequences
+    from .serve import GenRequest, ServeEngine
+
+    stop_strings = list(kwargs.get("stop_strings", ()))
+    stop_seqs = keyword_token_sequences(stop_strings, tokenizer)
+    do_sample = kwargs.get("do_sample", False)
+    gcfg = model.config.guide_text_config
+    guide_len = gcfg.max_position_embeddings if gcfg is not None else 32
+    engine = ServeEngine(
+        model.model, {"params": model.params},
+        n_slots=n_slots, cache_len=cache_len or model.cache_len,
+        prompt_buckets=tuple(prompt_buckets), guide_len=guide_len,
+        sync_steps=sync_steps,
+        temperature=(kwargs.get("temperature", 0.2) if do_sample else 0.0),
+        top_p=kwargs.get("top_p", 0.9),
+        eos_token_id=model.eos_token_id,
+        pad_token_id=tokenizer.pad_token_id if tokenizer.pad_token_id is not None else 0,
+    )
+
+    order = []
+    for s in samples:
+        s_modal = s.get("modal", modal)
+        tensor = s.get("tensor")
+        if s_modal == "text" or tensor is None:
+            s_modal, modal_token, frames = "text", "", None
+        else:
+            modal_token = DEFAULT_IMAGE_TOKEN if s_modal == "image" else DEFAULT_VIDEO_TOKEN
+            frames = np.asarray(tensor)
+            if frames.ndim == 3:
+                frames = frames[None]
+        message = [{"role": "user", "content": (modal_token + "\n" if modal_token else "") + s["instruct"]}]
+        prompt = tokenizer.apply_chat_template(message, tokenize=False, add_generation_prompt=True)
+        ids = np.asarray(tokenizer_multimodal_token(
+            prompt, tokenizer, modal_token, return_tensors="np"), np.int32)
+
+        guide_ids = guide_mask = None
+        if model.config.guide_enabled() and frames is not None:
+            if "guide_ids" in s:
+                guide_ids = np.asarray(s["guide_ids"]).reshape(-1)
+            else:
+                assert model.guide_tokenizer is not None, "guide tokenizer unavailable; pass guide_ids"
+                enc = model.guide_tokenizer(s["guide_instruct"], padding="max_length", truncation=True,
+                                            max_length=guide_len, return_tensors="np")
+                guide_ids = enc["input_ids"][0]
+                am = enc.get("attention_mask")
+                guide_mask = am[0].astype(bool) if am is not None else None
+        order.append(engine.submit(GenRequest(
+            input_ids=ids, frames=frames, guide_ids=guide_ids, guide_mask=guide_mask,
+            modal=s_modal, max_new_tokens=s.get("max_new_tokens", kwargs.get("max_new_tokens", 128)),
+            stop_sequences=stop_seqs)))
+    results = engine.run()
+    eos_str = tokenizer.decode([model.eos_token_id], skip_special_tokens=False)
+    out = []
+    for rid in order:
+        text = tokenizer.decode(results[rid].tokens, skip_special_tokens=True).strip()
+        out.append(_trim_at_keywords(text, [eos_str] + stop_strings))
+    return out

@@ -46,6 +46,7 @@ class GenRequest:
     input_ids: np.ndarray  # (L,) prompt ids with modal sentinel(s) spliced in
     frames: Optional[np.ndarray] = None  # (t, 3, H, W) preprocessed pixels
     guide_ids: Optional[np.ndarray] = None  # (Lg,) tokenized guide text
+    guide_mask: Optional[np.ndarray] = None  # (Lg,) bool; None = all real
     modal: str = "text"
     max_new_tokens: int = 64
     stop_sequences: Tuple[Tuple[int, ...], ...] = ()
@@ -206,7 +207,8 @@ class ServeEngine:
             if req.guide_ids is not None:
                 Lg = min(len(req.guide_ids), self.guide_len)
                 g[0, :Lg] = req.guide_ids[:Lg]
-                gm[0, :Lg] = True
+                gm[0, :Lg] = (req.guide_mask[:Lg] if req.guide_mask is not None
+                              else True)
             gids, gmask = jnp.asarray(g), jnp.asarray(gm)
         self._rng, sub = jax.random.split(self._rng)
         logits, cache, true_len = self._prefill_fns[key](

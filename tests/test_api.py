@@ -189,6 +189,34 @@ def test_mm_infer_batch_matches_single(checkpoint):
     assert all(isinstance(s, str) for s in batched + singles)
 
 
+def test_mm_serve_matches_mm_infer(checkpoint):
+    """Continuous-batching string API: responses equal per-request mm_infer
+    (greedy) for mixed video/text requests sharing 2 slots."""
+    from hicom_tpu.api import mm_infer, mm_serve, model_init
+
+    model, processor, tokenizer = model_init(checkpoint, dtype="float32", cache_len=256)
+    rng = np.random.default_rng(7)
+    vids = [rng.standard_normal((4, 3, 56, 56)).astype(np.float32) for _ in range(2)]
+    gids = rng.integers(1, TXT["vocab_size"], (2, 16))
+    samples = [
+        {"tensor": vids[0], "instruct": "what is in the video ?", "guide_ids": gids[0]},
+        {"modal": "text", "instruct": "describe a cat"},
+        {"tensor": vids[1], "instruct": "what color ?", "guide_ids": gids[1]},
+    ]
+    served = mm_serve(samples, model, tokenizer, modal="video", n_slots=2,
+                      cache_len=256, sync_steps=3, prompt_buckets=(32, 64),
+                      max_new_tokens=6)
+    singles = [
+        mm_infer(vids[0], "what is in the video ?", model, tokenizer,
+                 modal="video", guide_ids=gids[0][None], max_new_tokens=6),
+        mm_infer(None, "describe a cat", model, tokenizer, modal="text",
+                 max_new_tokens=6),
+        mm_infer(vids[1], "what color ?", model, tokenizer,
+                 modal="video", guide_ids=gids[1][None], max_new_tokens=6),
+    ]
+    assert served == singles
+
+
 def test_eval_runner_image_vqa_end_to_end(checkpoint, tmp_path):
     """Drive the eval runner CLI on the tiny checkpoint (image VQA benchmark)."""
     from PIL import Image
