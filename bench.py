@@ -115,9 +115,11 @@ def main():
                     help="decoder scale; 7b runs the flagship Qwen2.5-7B dims with int8 weight-only (bf16 7B does not fit a 16GB chip)")
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--iters", type=int, default=8)
-    ap.add_argument("--sync-every", type=int, default=2, help="host sync cadence (bounds queued memory)")
+    ap.add_argument("--sync-every", type=int, default=4,
+                    help="host sync cadence (the ~30ms relay round trip is "
+                         "pure idle; 4 keeps it ~1-2%% of a b=4 group)")
     ap.add_argument("--no-cache", action="store_true", help="don't overwrite the cached result (A/B runs)")
-    ap.add_argument("--tower-quant", choices=("none", "w8a8", "w8a8_mlp"),
+    ap.add_argument("--tower-quant", choices=("none", "w8a8", "w8a8_mlp", "w8a8_mlp_qkv"),
                     default=os.environ.get("HICOM_TOWER_QUANT", "w8a8_mlp"),
                     help="serving-tower quantization (default w8a8_mlp: int8 "
                          "MXU for fc1/fc2 only — interleaved chip A/B 154.2 "

@@ -39,9 +39,10 @@ class SiglipVisionConfig:
     # one compiled block scanned over a stacked layer axis: cuts remote compile
     # time ~num_layers-fold; identical numerics (tested)
     scan_layers: bool = False
-    # frozen-tower serving quantization: None | "w8a8" (int8 activations ×
-    # int8 weights, int32 MXU accumulation — chip-measured 1.3× over bf16 on
-    # the tower MLP shape; see models/quant.py)
+    # frozen-tower serving quantization: None | "w8a8" (every encoder linear)
+    # | "w8a8_mlp" (fc1/fc2 only) | "w8a8_mlp_qkv" (fc1/fc2 + q/k/v) — int8
+    # activations × int8 weights, int32 MXU accumulation, chip-measured 1.3×
+    # over bf16 on the tower MLP shape; see models/quant.py
     quantization: Optional[str] = None
 
     @property
@@ -97,7 +98,8 @@ class Qwen2Config:
     eos_token_id: int = 151645
     pad_token_id: int = 151643
     bos_token_id: int = 151643
-    # weight-only quantization of decoder linears: None | "int8"
+    # decoder-linear quantization: None | "int8" (weight-only) | "nf4" |
+    # "w8a8"/"w8a8_mlp" (int8 activations too — serving prefill on the int8 MXU)
     quantization: Optional[str] = None
     # lax.scan over the layer stack: one compiled block instead of N unrolled
     # copies (cuts compile time massively on remote-compile TPUs). Params are

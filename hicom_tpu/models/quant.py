@@ -90,17 +90,24 @@ def make_tower_dense(quantized: Optional[str], features: int, name: str, dtype) 
 
 def quantize_tower_params(vision_params: dict, mode: str = "w8a8") -> dict:
     """fp tower params → w8a8 layout: encoder-layer linear kernels become
-    per-output-channel int8 (kernel_q + kernel_scale); embeddings, norms,
-    attention-pool head stay fp. Host-side (numpy), mirrors the param names
-    W8A8Dense declares. ``mode="w8a8_mlp"`` quantizes only fc1/fc2."""
-    TARGET = ("fc1", "fc2") if mode == "w8a8_mlp" else (
-        "q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2")
+    per-output-channel int8 (kernel_q + kernel_scale); embeddings and norms
+    stay fp. Host-side (numpy), mirrors the param names W8A8Dense declares.
+
+    Modes mirror ``SiglipAttention``/``SiglipMLP``:
+      ``w8a8``          every encoder linear + the contrastive head MLP
+      ``w8a8_mlp``      fc1/fc2 (incl. head_mlp) only
+      ``w8a8_mlp_qkv``  fc1/fc2 + q/k/v projections; out_proj stays fp
+    """
+    TARGET = {
+        "w8a8_mlp": ("fc1", "fc2"),
+        "w8a8_mlp_qkv": ("fc1", "fc2", "q_proj", "k_proj", "v_proj"),
+    }.get(mode, ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2"))
 
     def walk(tree, path=""):
         if not isinstance(tree, dict):
             return tree
         leaf_name = path.rsplit("/", 1)[-1]
-        if "kernel" in tree and leaf_name in TARGET and "head" not in path:
+        if "kernel" in tree and leaf_name in TARGET:
             k = np.asarray(tree["kernel"], np.float32)
             absmax = np.maximum(np.abs(k).max(axis=0), 1e-8)
             scale = (absmax / 127.0).astype(np.float32)

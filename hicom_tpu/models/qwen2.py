@@ -149,15 +149,26 @@ def make_dense(quantized, features: int, use_bias: bool, dtype, name: str):
         return QuantDense(features, use_bias=use_bias, dtype=dtype, name=name)
     if quantized == "nf4":
         return QuantDense4(features, use_bias=use_bias, dtype=dtype, name=name)
+    if quantized == "w8a8":
+        # int8 activations × int8 weights on the MXU (param layout identical
+        # to QuantDense): at prefill the decoder is compute-bound, so the
+        # int8 MXU rate applies; at decode it streams the same int8 weights
+        from .quant import W8A8Dense
+
+        return W8A8Dense(features, use_bias=use_bias, dtype=dtype, name=name)
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
 
 def quantize_decoder_params(lm_params: dict, mode: str = "int8") -> dict:
-    """Convert decoder linear kernels to the quantized layout — ``int8``
-    (per-column absmax) or ``nf4`` (packed codebook indices + per-64-row-group
-    scales, the reference's bnb 4-bit analogue). Embeddings, norms and
-    lm_head stay fp."""
+    """Convert decoder linear kernels to the quantized layout — ``int8`` /
+    ``w8a8`` / ``w8a8_mlp`` (per-column absmax int8; the w8a8 layout is
+    identical to QuantDense's, ``w8a8_mlp`` leaves attention projections fp)
+    or ``nf4`` (packed codebook indices + per-64-row-group scales, the
+    reference's bnb 4-bit analogue). Embeddings, norms and lm_head stay fp."""
     import re as _re
+
+    target_re = (r"(gate_proj|up_proj|down_proj)$" if mode == "w8a8_mlp"
+                 else r"(q_proj|k_proj|v_proj|o_proj|gate_proj|up_proj|down_proj)$")
 
     # nearest codebook entry == searchsorted against bin midpoints (codebook is
     # sorted) — O(1) extra memory instead of a 16x-weight-size distance tensor
@@ -177,9 +188,7 @@ def quantize_decoder_params(lm_params: dict, mode: str = "int8") -> dict:
     def walk(tree, path=""):
         if not isinstance(tree, dict):
             return tree
-        if "kernel" in tree and _re.search(
-            r"(q_proj|k_proj|v_proj|o_proj|gate_proj|up_proj|down_proj)$", path
-        ):
+        if "kernel" in tree and _re.search(target_re, path):
             k = np.asarray(tree["kernel"], np.float32)
             if mode == "nf4":
                 out = quantize_nf4(k)
@@ -436,16 +445,21 @@ class DecoderLayer(nn.Module):
                  cache_scales=None, per_slot=False):
         cfg = self.config
         h = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="input_layernorm")(x)
-        quantized = getattr(cfg, "quantization", None)  # None | "int8" | "nf4"
+        # None | "int8" | "nf4" | "w8a8" | "w8a8_mlp" ("w8a8_mlp" runs only
+        # gate/up/down on the int8 MXU — 88% of decoder linear FLOPs — and
+        # keeps the attention projections bf16)
+        quantized = getattr(cfg, "quantization", None)
+        attn_q = None if quantized == "w8a8_mlp" else quantized
+        mlp_q = "w8a8" if quantized == "w8a8_mlp" else quantized
         attn_out, new_cache_kv, new_cache_scales = DecoderAttention(
             cfg.hidden_size, cfg.num_attention_heads, cfg.num_key_value_heads,
-            cfg.head_dim, cfg.rope_theta, cfg.attention_bias, quantized,
+            cfg.head_dim, cfg.rope_theta, cfg.attention_bias, attn_q,
             dtype=self.dtype, name="self_attn",
         )(h, positions, cache_kv, cache_length, cache_valid, padding_mask, prefill_from_empty,
           padding_right_aligned, cache_scales, per_slot)
         x = x + attn_out
         h = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="post_attention_layernorm")(x)
-        x = x + DecoderMLP(cfg.hidden_size, cfg.intermediate_size, quantized, dtype=self.dtype, name="mlp")(h)
+        x = x + DecoderMLP(cfg.hidden_size, cfg.intermediate_size, mlp_q, dtype=self.dtype, name="mlp")(h)
         return x, new_cache_kv, new_cache_scales
 
 

@@ -38,11 +38,15 @@ class SiglipAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
-        # "w8a8_mlp" quantizes only the MLP: the d×d attention projections
-        # have too little arithmetic intensity for int8 to beat its
-        # quantize-op overhead (chip A/B: full w8a8 tower 126 f/s < bf16 144)
+        # Mode ladder (chip A/B, f/s e2e at b=4: bf16 143.7 / w8a8_mlp 154.2 /
+        # full w8a8 139.2): "w8a8_mlp" quantizes only the MLP; "w8a8_mlp_qkv"
+        # additionally runs q/k/v on the int8 MXU (one shared activation
+        # quantization) but keeps out_proj bf16 — isolates whether the full-
+        # w8a8 loss came from the out_proj (whose input is the attention
+        # output, needing its own quantize pass that can't fuse with the
+        # Pallas flash kernel's epilogue) or from q/k/v themselves.
         head_dim = self.hidden_size // self.num_heads
-        if self.quantized == "w8a8":
+        if self.quantized in ("w8a8", "w8a8_mlp_qkv"):
             from .quant import W8A8Dense, W8A8DenseQ, quantize_rows
 
             # q/k/v share one quantized input (one activation pass, 3 int8
@@ -52,7 +56,9 @@ class SiglipAttention(nn.Module):
             k = W8A8DenseQ(self.hidden_size, name="k_proj", dtype=self.dtype)(xq, sx)
             v = W8A8DenseQ(self.hidden_size, name="v_proj", dtype=self.dtype)(xq, sx)
             out = multi_head_attention(q, k, v, self.num_heads, scale=head_dim**-0.5, mask=mask)
-            return W8A8Dense(self.hidden_size, name="out_proj", dtype=self.dtype)(out)
+            if self.quantized == "w8a8":
+                return W8A8Dense(self.hidden_size, name="out_proj", dtype=self.dtype)(out)
+            return nn.Dense(self.hidden_size, name="out_proj", dtype=self.dtype)(out)
         dense = lambda name: nn.Dense(self.hidden_size, name=name, dtype=self.dtype)  # noqa: E731
         q = dense("q_proj")(x)
         k = dense("k_proj")(x)
@@ -71,7 +77,7 @@ class SiglipMLP(nn.Module):
     def __call__(self, x: Array) -> Array:
         from .quant import make_tower_dense
 
-        q = "w8a8" if self.quantized == "w8a8_mlp" else self.quantized
+        q = "w8a8" if self.quantized in ("w8a8_mlp", "w8a8_mlp_qkv") else self.quantized
         x = make_tower_dense(q, self.intermediate_size, "fc1", self.dtype)(x)
         x = gelu_tanh(x)
         return make_tower_dense(q, self.hidden_size, "fc2", self.dtype)(x)
@@ -237,7 +243,11 @@ class SiglipVisionTower(nn.Module):
         if self.with_head:
             last = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="post_layernorm")(final)
             h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="head_layernorm")(last)
-            h = SiglipMLP(cfg.hidden_size, cfg.intermediate_size, dtype=self.dtype, name="head_mlp")(h)
+            # the head MLP is one extra fc1/fc2 pair (~2.4% of tower FLOPs) —
+            # quantize it under the same serving modes as the encoder MLPs
+            h = SiglipMLP(cfg.hidden_size, cfg.intermediate_size,
+                          quantized=getattr(cfg, "quantization", None),
+                          dtype=self.dtype, name="head_mlp")(h)
             image_embeds = (last + h).reshape(b, hw, hw, cfg.hidden_size)
         return features, image_embeds
 

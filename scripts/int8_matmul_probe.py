@@ -66,6 +66,37 @@ def chain_w8a8(x, w1q, s1, w2q, s2):
     return jnp.sum(x.astype(jnp.float32))
 
 
+@jax.jit
+def chain_int8_raw(xq, w1q, w2q):
+    """Pure int8 dot rate: int8 in, int32 accumulate, requant by arithmetic
+    shift (no f32 epilogue, no absmax reduce) — isolates the MXU int8 ceiling
+    from the dynamic-quantization overhead that chain_w8a8 carries."""
+    for _ in range(DEPTH):
+        acc = jax.lax.dot_general(xq, w1q, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        hq = jnp.clip(acc >> 8, -127, 127).astype(jnp.int8)
+        acc2 = jax.lax.dot_general(hq, w2q, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+        xq = jnp.clip(acc2 >> 8, -127, 127).astype(jnp.int8)
+    return jnp.sum(acc2)
+
+
+@jax.jit
+def chain_int8_aligned(xq, w1q, w2q):
+    """Raw int8 chain at 128-aligned dims (F 4304→4352): is the so400m
+    intermediate size's 128-misalignment costing int8 tiles?"""
+    w1p = jnp.pad(w1q, ((0, 0), (0, 48)))
+    w2p = jnp.pad(w2q, ((0, 48), (0, 0)))
+    for _ in range(DEPTH):
+        acc = jax.lax.dot_general(xq, w1p, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        hq = jnp.clip(acc >> 8, -127, 127).astype(jnp.int8)
+        acc2 = jax.lax.dot_general(hq, w2p, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+        xq = jnp.clip(acc2 >> 8, -127, 127).astype(jnp.int8)
+    return jnp.sum(acc2)
+
+
 def time_it(f, *args, iters=3):
     float(f(*args))
     t0 = time.perf_counter()
@@ -82,4 +113,9 @@ t = time_it(chain_w8, x0, w1q, s1, w2q, s2)
 out["w8_dequant"] = {"ms": round(t * 1e3, 1), "tflops": round(fl / t / 1e12, 1)}
 t = time_it(chain_w8a8, x0, w1q, s1, w2q, s2)
 out["w8a8_int32acc"] = {"ms": round(t * 1e3, 1), "tops": round(fl / t / 1e12, 1)}
+xq0 = jnp.asarray(rng.integers(-127, 127, (M, D)), jnp.int8)
+t = time_it(chain_int8_raw, xq0, w1q, w2q)
+out["int8_raw"] = {"ms": round(t * 1e3, 1), "tops": round(fl / t / 1e12, 1)}
+t = time_it(chain_int8_aligned, xq0, w1q, w2q)
+out["int8_raw_aligned4352"] = {"ms": round(t * 1e3, 1), "tops": round(fl / t / 1e12, 1)}
 print(json.dumps(out))

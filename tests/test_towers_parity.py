@@ -252,6 +252,43 @@ def test_int8_weight_only_quantization():
     assert rel < 0.05, rel
 
 
+def test_w8a8_decoder_prefill_modes():
+    """Serving w8a8 decoder ("w8a8": all linears; "w8a8_mlp": gate/up/down
+    only, attention fp): quantize_decoder_params layouts slot in and logits
+    track fp within int8 tolerance."""
+    import dataclasses
+
+    from hicom_tpu.models.qwen2 import quantize_decoder_params
+
+    _, model, params, cfg = _build_qwen_pair(seed=11)
+    ids = np.random.default_rng(11).integers(0, 128, (1, 12))
+    positions = jnp.arange(12)[None]
+    bound = model.bind({"params": params})
+    embeds = bound.embed(jnp.asarray(ids))
+    fp_logits, _ = model.apply({"params": params}, embeds, positions)
+
+    for mode in ("w8a8", "w8a8_mlp"):
+        qcfg = dataclasses.replace(cfg, quantization=mode)
+        qmodel = Qwen2ForCausalLM(config=qcfg)
+        qparams = quantize_decoder_params(params, mode=mode)
+        expected = qmodel.init(
+            jax.random.PRNGKey(0), jnp.asarray(ids), positions,
+            method=lambda m, i, p: m(m.embed(i), p),
+        )["params"]
+        assert_tree_match(expected, qparams)
+        attn0 = qparams["model"]["layers_0"]["self_attn"]
+        if mode == "w8a8_mlp":
+            assert "kernel" in attn0["q_proj"]  # attention stays fp
+        else:
+            assert "kernel_q" in attn0["q_proj"]
+        q_logits, _ = qmodel.apply({"params": qparams}, embeds, positions)
+        np.testing.assert_array_equal(
+            np.argmax(np.asarray(fp_logits), -1), np.argmax(np.asarray(q_logits), -1))
+        rel = np.abs(np.asarray(q_logits) - np.asarray(fp_logits)).max() / (
+            np.abs(np.asarray(fp_logits)).max() + 1e-9)
+        assert rel < 0.08, (mode, rel)
+
+
 def test_scan_layers_matches_unrolled():
     """nn.scan decoder (stacked params) == unrolled decoder == HF torch."""
     import dataclasses
@@ -443,8 +480,40 @@ def test_w8a8_tower_close_to_fp():
     cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
     rel = float(np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9))
     assert cos > 0.999 and rel < 0.03, (cos, rel)
-    # head path also runs (stays fp)
+    # head path also runs (head MLP quantized under w8a8 serving modes)
     assert e_q.shape == e_fp.shape
+    ha, hb = np.asarray(e_fp).ravel(), np.asarray(e_q).ravel()
+    hcos = float(np.dot(ha, hb) / (np.linalg.norm(ha) * np.linalg.norm(hb)))
+    assert hcos > 0.999, hcos
+
+
+def test_w8a8_mlp_qkv_tower_mode():
+    """Intermediate serving mode (fc1/fc2 + q/k/v int8, out_proj fp): params
+    from quantize_tower_params(mode=w8a8_mlp_qkv) slot in and track fp."""
+    import dataclasses
+
+    from hicom_tpu.models.quant import quantize_tower_params
+
+    cfg = hcfg.SiglipVisionConfig(**VIS)
+    rng = np.random.default_rng(3)
+    px = jnp.asarray(rng.standard_normal((2, 3, 56, 56)).astype(np.float32))
+    fp = SiglipVisionTower(config=cfg, dtype=jnp.float32)
+    vars_fp = fp.init(jax.random.PRNGKey(0), px)
+    f_fp, _ = fp.apply(vars_fp, px)
+
+    qparams = quantize_tower_params(jax.device_get(vars_fp["params"]), mode="w8a8_mlp_qkv")
+    # out_proj kernels must remain fp (bf16-compatible nn.Dense layout)
+    l0 = qparams["encoder"]["layers_0"]
+    assert "kernel" in l0["self_attn"]["out_proj"]
+    assert "kernel_q" in l0["self_attn"]["q_proj"] and "kernel_q" in l0["mlp"]["fc1"]
+    assert "kernel_q" in qparams["head_mlp"]["fc1"]
+
+    qcfg = dataclasses.replace(cfg, quantization="w8a8_mlp_qkv")
+    qt = SiglipVisionTower(config=qcfg, dtype=jnp.float32)
+    f_q, _ = qt.apply({"params": jax.tree.map(jnp.asarray, qparams)}, px)
+    a, b = np.asarray(f_fp).ravel(), np.asarray(f_q).ravel()
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.999, cos
 
 
 def test_w8a8_tower_scan_layers_matches_unrolled():
