@@ -11,8 +11,10 @@ which runs eval at batch 1 with Python-loop projectors; see BASELINE.md).
 
 Default batch is 4 videos/step — the batched-serving configuration this
 framework adds over the reference (which evals at batch 1); measured sweep on
-a healthy chip: b=1 120.7 / b=2 131.8 / b=4 143.6 frames/s. ``--batch 1``
-reproduces the reference's serving shape.
+a healthy chip: b=1 120.7 / b=2 131.8 / b=4 143.6 frames/s (bf16 tower).
+``--batch 1`` reproduces the reference's serving shape. Default quantization
+(int8-MXU tower MLP+QKV and w8a8 decoder prefill) measured 177.5 f/s at b=4
+in an interleaved A/B (scripts/tower_quant_ab.py, 2026-08-18 window).
 
 Run: python bench.py            (full size: so400m + Qwen2.5-1.5B decoder)
      python bench.py --small    (CI-sized sanity run)
@@ -120,11 +122,17 @@ def main():
                          "pure idle; 4 keeps it ~1-2%% of a b=4 group)")
     ap.add_argument("--no-cache", action="store_true", help="don't overwrite the cached result (A/B runs)")
     ap.add_argument("--tower-quant", choices=("none", "w8a8", "w8a8_mlp", "w8a8_mlp_qkv"),
-                    default=os.environ.get("HICOM_TOWER_QUANT", "w8a8_mlp"),
-                    help="serving-tower quantization (default w8a8_mlp: int8 "
-                         "MXU for fc1/fc2 only — interleaved chip A/B 154.2 "
-                         "vs bf16 143.7 vs full-w8a8 139.2 f/s; 'none' = bf16 "
-                         "reference numerics)")
+                    default=os.environ.get("HICOM_TOWER_QUANT", "w8a8_mlp_qkv"),
+                    help="serving-tower quantization (default w8a8_mlp_qkv: "
+                         "int8 MXU for fc1/fc2 + q/k/v with one shared "
+                         "activation quant; out_proj stays fp — interleaved "
+                         "chip A/B 175.2 vs w8a8_mlp 165.2 vs full-w8a8 139.2 "
+                         "f/s; 'none' = bf16 reference numerics)")
+    ap.add_argument("--dec-quant", choices=("none", "int8", "w8a8", "w8a8_mlp"),
+                    default=os.environ.get("HICOM_DEC_QUANT", "w8a8"),
+                    help="decoder quantization for the prefill bench (default "
+                         "w8a8: int8 MXU serving prefill — chip A/B 177.5 vs "
+                         "174.9 f/s on top of w8a8_mlp_qkv tower)")
     ap.add_argument("--decode", action="store_true",
                     help="measure decode steps at b∈{1,4,8} instead of the "
                          "e2e prefill metric (serving throughput table)")
@@ -318,7 +326,10 @@ def _run(args, flags):
         # "7b": flagship dims, int8 weight-only (QuantDense): ~7.6GB decoder
         # weights + bf16 tower fits one 16GB chip.
         tq = None if args.tower_quant == "none" else args.tower_quant
-        cfg = serving_config(args.model, frames=args.frames, tower_quant=tq)
+        # "7b" already carries quantization="int8" (weight-only); only
+        # override when the flag asks for a different decoder mode.
+        dq = {} if args.dec_quant == "none" or args.model == "7b" else {"quantization": args.dec_quant}
+        cfg = serving_config(args.model, frames=args.frames, tower_quant=tq, **dq)
         t = args.frames
 
     model = HIComModel(config=cfg)
@@ -430,7 +441,8 @@ def _run(args, flags):
             "group_ms": [round(g * 1e3, 1) for g in group_dts],
             "config": "tiny" if args.small else (
                 ("so400m+qwen2.5-7B-int8" if args.model == "7b" else "so400m+qwen2.5-1.5B")
-                + ("-w8a8tower" if args.tower_quant != "none" else "")),
+                + (f"-tower:{args.tower_quant}" if args.tower_quant != "none" else "")
+                + (f"-dec:{args.dec_quant}" if args.dec_quant != "none" and args.model != "7b" else "")),
             "baseline_model": "analytic A100 bf16 roofline @45% MFU, same computation",
             **({"relay_health": health} if health else {}),
             **({"fallback_flags": flags} if flags else {}),

@@ -4,11 +4,16 @@ Arms (all compiled up front in ONE process, then timed in alternating groups
 so the chip's ~3x tenancy drift cannot masquerade as an arm effect — see
 CLAUDE.md "Chip throughput varies"):
 
-  none      bf16 tower (reference numerics)
-  w8a8_mlp  int8 fc1/fc2 only (the 54%-of-e2e FLOPs block; attention
-            projections stay bf16)
-  w8a8      full int8 encoder linears, q/k/v sharing one activation
-            quantization (models/siglip.py W8A8DenseQ path)
+  none          bf16 tower (reference numerics)
+  w8a8_mlp      int8 fc1/fc2 only (the 54%-of-e2e FLOPs block; attention
+                projections stay bf16)
+  w8a8_mlp_qkv  fc1/fc2 + q/k/v (one shared activation quantization);
+                out_proj stays fp — isolates the full-w8a8 regression
+  w8a8          full int8 encoder linears
+
+An arm named ``tower:dec`` additionally quantizes the DECODER linears for the
+prefill (``dec`` ∈ int8|w8a8|w8a8_mlp, e.g. ``w8a8_mlp_qkv:w8a8``) — the
+decoder is ~8% of e2e FLOPs, so this measures the int8-MXU tail.
 
 Optionally adds a FULLBLOCK_ALIGNED arm (decoder-prefill flash with full-seq
 blocks at d=128) via AB_ALIGNED=1 — the env gate is read at trace time, so the
@@ -40,16 +45,29 @@ from hicom_tpu.constants import VIDEO_TOKEN_INDEX
 from hicom_tpu.models.hicom import HIComModel
 
 
-_SHARED = {}  # non-tower params, shared across arms (device buffers) — three
-# full 1.5B param sets OOM a 16GB chip; only the tower subtree differs per arm
+_SHARED = {}  # param subtrees shared across arms (device buffers) — three
+# full 1.5B param sets OOM a 16GB chip. Keyed by (name, shape fingerprint) so
+# arms that change a subtree's layout (tower quant modes, decoder-quant arms)
+# get their own buffers while identical subtrees alias one copy.
 
 
-def build_arm(tower_quant, aligned=False):
+def _shared_subtree(name, sub_shapes):
+    fp = tuple((jax.tree_util.keystr(p), v.shape, str(v.dtype))
+               for p, v in jax.tree_util.tree_flatten_with_path(sub_shapes)[0])
+    key = (name, fp)
+    if key not in _SHARED:
+        _SHARED[key] = random_params_like(sub_shapes)
+    return _SHARED[key]
+
+
+def build_arm(arm_name, aligned=False):
     """Returns a zero-arg timed callable (compiled + warmed)."""
     if aligned:
         os.environ["HICOM_FLASH_FULLBLOCK_ALIGNED"] = "1"
+    tower_quant, _, dec_quant = arm_name.partition(":")
     tq = None if tower_quant == "none" else tower_quant
-    cfg = serving_config("1.5b", frames=FRAMES, tower_quant=tq)
+    overrides = {"quantization": dec_quant} if dec_quant else {}
+    cfg = serving_config("1.5b", frames=FRAMES, tower_quant=tq, **overrides)
     model = HIComModel(config=cfg)
     rng = np.random.default_rng(0)
     img = cfg.vision_config.image_size
@@ -63,11 +81,7 @@ def build_arm(tower_quant, aligned=False):
     shapes = jax.eval_shape(
         lambda r: model.init(r, init_ids, frames[:1, :1], guide_ids=gids[:1], modal="video")["params"],
         jax.random.PRNGKey(0))
-    if not _SHARED:
-        _SHARED.update(random_params_like(
-            {k: v for k, v in shapes.items() if k != "vision_tower"}))
-    params = dict(_SHARED)
-    params["vision_tower"] = random_params_like(shapes["vision_tower"])
+    params = {k: _shared_subtree(k, v) for k, v in shapes.items()}
 
     def pipeline(params, input_ids, frames, gids):
         def run(m):
