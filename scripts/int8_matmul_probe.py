@@ -97,6 +97,76 @@ def chain_int8_aligned(xq, w1q, w2q):
     return jnp.sum(acc2)
 
 
+@jax.jit
+def chain_w8a8_bf16q(x, w1q, s1, w2q, s2):
+    """chain_w8a8 but the dynamic quantize runs in bf16 math (absmax reduce +
+    divide + round in bf16, scales bf16): is the f32 quantize epilogue part of
+    the 170 vs 199 TOPS gap?"""
+    def q_rows16(h):
+        amax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+        s = jnp.maximum(amax, jnp.bfloat16(1e-6)) * jnp.bfloat16(1.0 / 127.0)
+        q = jnp.clip(jnp.round(h / s), -127, 127).astype(jnp.int8)
+        return q, s
+    for _ in range(DEPTH):
+        xq, sx = q_rows16(x)
+        acc = jax.lax.dot_general(xq, w1q, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        h = jax.nn.gelu(acc.astype(jnp.bfloat16) * sx * s1.astype(jnp.bfloat16))
+        hq, sh = q_rows16(h)
+        acc2 = jax.lax.dot_general(hq, w2q, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+        x = acc2.astype(jnp.bfloat16) * sh * s2.astype(jnp.bfloat16)
+    return jnp.sum(x.astype(jnp.float32))
+
+
+# ---- attention-core-shaped dots: (heads*frames) batched 729x72 @ 72x729 ----
+# The tower's d=72 attention is the last bf16 holdout (~10% of tower FLOPs,
+# flash full-block measured ~56 TFLOP/s). Does the int8 MXU path beat that
+# through XLA batched dot_general at this shape?
+AB_HEADS = 64  # heads*frames batch per call (memory-bounded stand-in)
+La, Da = 729, 72
+
+
+def attn_args(dtype):
+    if dtype == "int8":
+        q = jnp.asarray(rng.integers(-127, 127, (AB_HEADS, La, Da)), jnp.int8)
+        k = jnp.asarray(rng.integers(-127, 127, (AB_HEADS, La, Da)), jnp.int8)
+        v = jnp.asarray(rng.integers(-127, 127, (AB_HEADS, La, Da)), jnp.int8)
+    else:
+        q = jnp.asarray(rng.standard_normal((AB_HEADS, La, Da)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((AB_HEADS, La, Da)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((AB_HEADS, La, Da)), jnp.bfloat16)
+    return q, k, v
+
+
+ATTN_DEPTH = 8
+
+
+@jax.jit
+def attn_bf16(q, k, v):
+    for _ in range(ATTN_DEPTH):
+        logits = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))))
+        p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(jnp.bfloat16)
+        o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))))
+        q = (q + o * jnp.bfloat16(1e-3)).astype(jnp.bfloat16)
+    return jnp.sum(o.astype(jnp.float32))
+
+
+@jax.jit
+def attn_int8(q, k, v):
+    """int8 qk^T and pV through XLA (NOT Pallas — the Pallas int8 path wedges
+    Mosaic, TODO.md DEAD END). p requantized per-row to int8."""
+    for _ in range(ATTN_DEPTH):
+        logits = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.int32)
+        p = jax.nn.softmax(logits.astype(jnp.float32) * 1e-4, axis=-1)
+        pq = jnp.clip(jnp.round(p * 127.0), -127, 127).astype(jnp.int8)
+        o = jax.lax.dot_general(pq, v, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.int32)
+        q = jnp.clip(o >> 8, -127, 127).astype(jnp.int8)
+    return jnp.sum(o)
+
+
 def time_it(f, *args, iters=3):
     float(f(*args))
     t0 = time.perf_counter()
@@ -118,4 +188,14 @@ t = time_it(chain_int8_raw, xq0, w1q, w2q)
 out["int8_raw"] = {"ms": round(t * 1e3, 1), "tops": round(fl / t / 1e12, 1)}
 t = time_it(chain_int8_aligned, xq0, w1q, w2q)
 out["int8_raw_aligned4352"] = {"ms": round(t * 1e3, 1), "tops": round(fl / t / 1e12, 1)}
+t = time_it(chain_w8a8_bf16q, x0, w1q, s1, w2q, s2)
+out["w8a8_bf16_quantize"] = {"ms": round(t * 1e3, 1), "tops": round(fl / t / 1e12, 1)}
+
+attn_fl = ATTN_DEPTH * AB_HEADS * 2 * (2 * La * La * Da)  # qk^T + pV
+qb, kb, vb = attn_args("bf16")
+t = time_it(attn_bf16, qb, kb, vb)
+out["attn_d72_bf16"] = {"ms": round(t * 1e3, 1), "tflops": round(attn_fl / t / 1e12, 1)}
+qi, ki, vi = attn_args("int8")
+t = time_it(attn_int8, qi, ki, vi)
+out["attn_d72_int8"] = {"ms": round(t * 1e3, 1), "tops": round(attn_fl / t / 1e12, 1)}
 print(json.dumps(out))
