@@ -121,13 +121,16 @@ def main():
                     help="host sync cadence (the ~30ms relay round trip is "
                          "pure idle; 4 keeps it ~1-2%% of a b=4 group)")
     ap.add_argument("--no-cache", action="store_true", help="don't overwrite the cached result (A/B runs)")
-    ap.add_argument("--tower-quant", choices=("none", "w8a8", "w8a8_mlp", "w8a8_mlp_qkv"),
+    ap.add_argument("--tower-quant", choices=("none", "w8a8", "w8a8_mlp", "w8a8_mlp_qkv",
+                                              "w8a8s", "w8a8s_mlp", "w8a8s_mlp_qkv"),
                     default=os.environ.get("HICOM_TOWER_QUANT", "w8a8_mlp_qkv"),
                     help="serving-tower quantization (default w8a8_mlp_qkv: "
                          "int8 MXU for fc1/fc2 + q/k/v with one shared "
                          "activation quant; out_proj stays fp — interleaved "
                          "chip A/B 175.2 vs w8a8_mlp 165.2 vs full-w8a8 139.2 "
-                         "f/s; 'none' = bf16 reference numerics)")
+                         "f/s; w8a8s* = calibrated static activation scales, "
+                         "quantize fuses into the producer; 'none' = bf16 "
+                         "reference numerics)")
     ap.add_argument("--dec-quant", choices=("none", "int8", "w8a8", "w8a8_mlp"),
                     default=os.environ.get("HICOM_DEC_QUANT", "w8a8"),
                     help="decoder quantization for the prefill bench (default "
@@ -230,6 +233,40 @@ def random_params_like(shapes):
         return jax.tree_util.tree_unflatten(treedef, vals)
 
     return make(jax.random.PRNGKey(0))
+
+
+def calibrate_static_tower(model, cfg, params, frames, gids, tower_quant):
+    """Fill the static-quant tower's act_scale params from one calibration
+    forward: a '+calib' twin model (identical param tree) quantizes with live
+    per-tensor absmax while sowing each site's amax into the 'calib'
+    collection (models/quant.py). Runs on a small frame slice — scales are
+    shape-independent — so the extra (untimed) compile stays cheap. Shared
+    with scripts/tower_quant_ab.py."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from hicom_tpu.models.hicom import HIComModel
+    from hicom_tpu.models.quant import fill_act_scales
+
+    ccfg = dataclasses.replace(
+        cfg, vision_config=dataclasses.replace(
+            cfg.vision_config, quantization=tower_quant + "+calib"))
+    cmodel = HIComModel(config=ccfg)
+    cf, cg = frames[:1, : min(8, frames.shape[1])], gids[:1]
+
+    @jax.jit
+    def calib_fn(params, f, g):
+        def run(m):
+            ge = m.encode_guide(g)
+            visual = m.encode_visual(f, ge, "video")
+            return jnp.sum(visual.astype(jnp.float32))
+
+        return cmodel.apply({"params": params}, method=run, mutable=["calib"])
+
+    _, mut = calib_fn(params, cf, cg)
+    return fill_act_scales(params, jax.device_get(mut["calib"]))
 
 
 def _run_decode(args, flags):
@@ -350,6 +387,8 @@ def _run(args, flags):
         jax.random.PRNGKey(0),
     )
     params = random_params_like(shapes)
+    if not args.small and args.tower_quant.startswith("w8a8s"):
+        params = calibrate_static_tower(model, cfg, params, frames, gids, args.tower_quant)
 
     def pipeline(params, input_ids, frames, gids):
         def run(m):

@@ -60,6 +60,43 @@ class HICom:
         self._eval_mesh = mesh
         return mesh
 
+    def calibrate_tower(self, frames: np.ndarray, guide_ids: Optional[np.ndarray] = None,
+                        modal: str = "video") -> None:
+        """Fill a static-quant tower's activation scales ("w8a8s*" modes) from
+        one calibration forward over representative ``frames`` (b, t, 3, H, W).
+        A '+calib' twin of the model (identical param tree, models/quant.py)
+        quantizes with live per-tensor absmax while sowing each site's amax;
+        the scales are written into ``self.params`` in place. No-op effect on
+        dynamic modes (no act_scale params exist to fill)."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from .models.hicom import HIComModel
+        from .models.quant import fill_act_scales
+
+        ccfg = dataclasses.replace(
+            self.config, vision_config=dataclasses.replace(
+                self.config.vision_config,
+                quantization=(self.config.vision_config.quantization or "") + "+calib"))
+        cmodel = HIComModel(config=ccfg)
+        f = jnp.asarray(frames, jnp.bfloat16)
+        g = None
+        if guide_ids is not None and self.config.guide_enabled():
+            g = self.model.apply({"params": self.params}, jnp.asarray(guide_ids),
+                                 method="encode_guide")
+
+        @jax.jit
+        def calib_fn(params, f, g):
+            def run(m):
+                return jnp.sum(m.encode_visual(f, g, modal).astype(jnp.float32))
+
+            return cmodel.apply({"params": params}, method=run, mutable=["calib"])
+
+        _, mut = calib_fn(self.params, f, g)
+        self.params = fill_act_scales(self.params, jax.device_get(mut["calib"]))
+
     def _place_batch(self, tree):
         """Shard array leaves' batch axis over the eval mesh when divisible."""
         import jax
@@ -297,12 +334,15 @@ def load_model(
     if load_w8a8_tower:
         # frozen-tower int8 serving: activations and weights int8, int32 MXU
         # accumulation — ~1.3× tower speedup on v5e (models/quant.py). SigLIP
-        # towers only.
+        # towers only. Pass True for full "w8a8", or a mode string (e.g.
+        # "w8a8_mlp_qkv", "w8a8s_mlp_qkv"); static "w8a8s*" modes ship with
+        # act_scale=1.0 — calibrate via HICom.calibrate_tower() before serving.
         import dataclasses as _dc
 
         if hasattr(cfg.vision_config, "projection_dim"):
             raise ValueError("load_w8a8_tower supports the SigLIP tower family")
-        cfg = cfg.replace(vision_config=_dc.replace(cfg.vision_config, quantization="w8a8"))
+        tq = load_w8a8_tower if isinstance(load_w8a8_tower, str) else "w8a8"
+        cfg = cfg.replace(vision_config=_dc.replace(cfg.vision_config, quantization=tq))
     if scan_towers:
         # one compiled encoder block (stacked layer params): ~num_layers-fold
         # faster remote compiles, identical numerics. SigLIP towers only —

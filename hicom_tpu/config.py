@@ -42,7 +42,10 @@ class SiglipVisionConfig:
     # frozen-tower serving quantization: None | "w8a8" (every encoder linear)
     # | "w8a8_mlp" (fc1/fc2 only) | "w8a8_mlp_qkv" (fc1/fc2 + q/k/v) — int8
     # activations × int8 weights, int32 MXU accumulation, chip-measured 1.3×
-    # over bf16 on the tower MLP shape; see models/quant.py
+    # over bf16 on the tower MLP shape; see models/quant.py. "w8a8s*" variants
+    # use calibrated static activation scales (act_scale params, filled via a
+    # "+calib" forward + fill_act_scales) so the quantize fuses into the
+    # producing op instead of paying a dynamic absmax pass per call.
     quantization: Optional[str] = None
 
     @property

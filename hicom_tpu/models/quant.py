@@ -33,6 +33,66 @@ def quantize_rows(x: Array) -> Tuple[Array, Array]:
     return q, s
 
 
+def quantize_static(x: Array, s: Array) -> Array:
+    """int8 codes from a CALIBRATED per-tensor scale ``s`` (f32 scalar).
+
+    Unlike ``quantize_rows`` there is no absmax reduction pass: the whole
+    quantize is elementwise (mul+round+clip+cast), so XLA fuses it into the
+    producer's epilogue (layernorm / gelu) and the activation never takes an
+    extra HBM round trip. Chip probe measured dynamic quantize at 170.5 TOPS
+    vs 199.5 raw int8 on the tower MLP shape — the static path exists to
+    recover that ~17% (scripts/int8_matmul_probe.py)."""
+    inv = (1.0 / jnp.maximum(s, 1e-20)).astype(jnp.float32)
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127).astype(jnp.int8)
+
+
+def parse_tower_quant(mode: Optional[str]) -> Tuple[Optional[str], bool, bool]:
+    """'w8a8s_mlp_qkv+calib' → (base='w8a8s_mlp_qkv', static=True, calib=True).
+
+    ``w8a8s*`` modes use calibrated per-tensor activation scales (stored as
+    ``act_scale`` params) instead of per-call dynamic absmax; the ``+calib``
+    suffix builds the SAME param tree but quantizes dynamically while sowing
+    each site's absmax into the 'calib' collection (see fill_act_scales)."""
+    if not mode:
+        return None, False, False
+    if not isinstance(mode, str):  # legacy quantized=True → int8 weight-only
+        return mode, False, False
+    calib = mode.endswith("+calib")
+    base = mode[: -len("+calib")] if calib else mode
+    return base, base.startswith("w8a8s"), calib
+
+
+def quant_covers(base: Optional[str], site: str) -> bool:
+    """Whether quant mode ``base`` covers ``site`` ∈ {mlp, qkv, out}."""
+    norm = base.replace("w8a8s", "w8a8") if base else None
+    return {
+        "mlp": norm in ("w8a8", "w8a8_mlp", "w8a8_mlp_qkv"),
+        "qkv": norm in ("w8a8", "w8a8_mlp_qkv"),
+        "out": norm == "w8a8",
+    }[site]
+
+
+class ActQuant(nn.Module):
+    """Static per-tensor activation quantizer: declares ``act_scale`` and
+    returns (int8 codes, scale). ``calibrate=True`` quantizes with the live
+    per-tensor absmax instead and sows it (max-reduced) into the 'calib'
+    collection so one forward both runs and measures."""
+
+    calibrate: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, Array]:
+        act_scale = self.param("act_scale", nn.initializers.ones, (), jnp.float32)
+        if self.calibrate:
+            amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            self.sow("calib", "act_amax", amax,
+                     reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(0.0))
+            s = jnp.maximum(amax, 1e-8) / 127.0
+        else:
+            s = act_scale
+        return quantize_static(x, s), s
+
+
 class W8A8Dense(nn.Module):
     """int8-activation × int8-weight linear with int32 MXU accumulation."""
 
@@ -82,7 +142,45 @@ class W8A8DenseQ(nn.Module):
         return y
 
 
-def make_tower_dense(quantized: Optional[str], features: int, name: str, dtype) -> nn.Module:
+class W8A8DenseS(nn.Module):
+    """Static-scale w8a8 linear: int8 weights + a calibrated per-tensor
+    activation scale (flat param layout: act_scale sits beside kernel_q so the
+    converter stays mechanical). ``calibrate=True`` behaves per ActQuant."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+    calibrate: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_dim = x.shape[-1]
+        kernel_q = self.param("kernel_q", nn.initializers.zeros, (in_dim, self.features), jnp.int8)
+        scale = self.param("kernel_scale", nn.initializers.ones, (self.features,), jnp.float32)
+        act_scale = self.param("act_scale", nn.initializers.ones, (), jnp.float32)
+        if self.calibrate:
+            amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            self.sow("calib", "act_amax", amax,
+                     reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(0.0))
+            sx = jnp.maximum(amax, 1e-8) / 127.0
+        else:
+            sx = act_scale
+        xq = quantize_static(x, sx)
+        acc = jax.lax.dot_general(
+            xq, kernel_q, (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = (acc.astype(jnp.float32) * (sx * scale)).astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def make_tower_dense(quantized: Optional[str], features: int, name: str, dtype,
+                     calibrate: bool = False) -> nn.Module:
+    if quantized == "w8a8s":
+        return W8A8DenseS(features, name=name, dtype=dtype, calibrate=calibrate)
     if quantized == "w8a8":
         return W8A8Dense(features, name=name, dtype=dtype)
     return nn.Dense(features, name=name, dtype=dtype)
@@ -97,11 +195,20 @@ def quantize_tower_params(vision_params: dict, mode: str = "w8a8") -> dict:
       ``w8a8``          every encoder linear + the contrastive head MLP
       ``w8a8_mlp``      fc1/fc2 (incl. head_mlp) only
       ``w8a8_mlp_qkv``  fc1/fc2 + q/k/v projections; out_proj stays fp
+      ``w8a8s*``        same coverage as the dynamic counterpart, but with
+                        static activation scales: each quantized site gains an
+                        ``act_scale`` param initialised to 1.0 — run a
+                        '+calib' forward and ``fill_act_scales`` before serving
     """
+    base, static, _ = parse_tower_quant(mode)
+    norm = base.replace("w8a8s", "w8a8") if static else base
     TARGET = {
         "w8a8_mlp": ("fc1", "fc2"),
         "w8a8_mlp_qkv": ("fc1", "fc2", "q_proj", "k_proj", "v_proj"),
-    }.get(mode, ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2"))
+    }.get(norm, ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2"))
+    # sites whose quantize is hoisted out of the dense (shared q/k/v input):
+    # the scale lives in a sibling ActQuant scope, not inside the dense
+    shared_quant = ("q_proj", "k_proj", "v_proj")
 
     def walk(tree, path=""):
         if not isinstance(tree, dict):
@@ -113,9 +220,44 @@ def quantize_tower_params(vision_params: dict, mode: str = "w8a8") -> dict:
             scale = (absmax / 127.0).astype(np.float32)
             kq = np.clip(np.round(k / scale[None, :]), -127, 127).astype(np.int8)
             out = {"kernel_q": kq, "kernel_scale": scale}
+            if static and leaf_name not in shared_quant:
+                out["act_scale"] = np.float32(1.0)
             if "bias" in tree:
                 out["bias"] = np.asarray(tree["bias"], np.float32)
             return out
-        return {kk: walk(vv, f"{path}/{kk}") for kk, vv in tree.items()}
+        new = {kk: walk(vv, f"{path}/{kk}") for kk, vv in tree.items()}
+        if static and quant_covers(base, "qkv") and "q_proj" in tree and "kernel" in tree.get("q_proj", {}):
+            new["qkv_quant"] = {"act_scale": np.float32(1.0)}
+        return new
 
     return walk(vision_params)
+
+
+def merge_calib(a, b):
+    """Elementwise max of two sown calib trees (multi-batch calibration)."""
+    import jax
+
+    return jax.tree_util.tree_map(jnp.maximum, a, b)
+
+
+def fill_act_scales(params, calib, floor: float = 1e-8):
+    """Write calibrated activation scales into a static-quant param tree.
+
+    ``calib`` is the 'calib' collection from a '+calib' forward: wherever it
+    holds an ``act_amax`` leaf, the params' sibling ``act_scale`` becomes
+    ``max(amax, floor)/127``. Under nn.scan both sides carry a leading layer
+    axis, which broadcasts through unchanged. Returns a new tree."""
+
+    def walk(p, c):
+        if not isinstance(c, dict):
+            return p
+        out = dict(p)
+        for k, v in c.items():
+            if k == "act_amax":
+                amax = jnp.asarray(v, jnp.float32)
+                out["act_scale"] = jnp.maximum(amax, floor) / 127.0
+            elif k in out:
+                out[k] = walk(out[k], v)
+        return out
+
+    return walk(params, calib)

@@ -156,6 +156,12 @@ def make_dense(quantized, features: int, use_bias: bool, dtype, name: str):
         from .quant import W8A8Dense
 
         return W8A8Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+    if quantized in ("w8a8s", "w8a8s+calib"):
+        # static-scale w8a8 (calibrated act_scale params — see models/quant.py)
+        from .quant import W8A8DenseS
+
+        return W8A8DenseS(features, use_bias=use_bias, dtype=dtype, name=name,
+                          calibrate=quantized.endswith("+calib"))
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
 
@@ -447,10 +453,20 @@ class DecoderLayer(nn.Module):
         h = RMSNorm(cfg.rms_norm_eps, dtype=self.dtype, name="input_layernorm")(x)
         # None | "int8" | "nf4" | "w8a8" | "w8a8_mlp" ("w8a8_mlp" runs only
         # gate/up/down on the int8 MXU — 88% of decoder linear FLOPs — and
-        # keeps the attention projections bf16)
+        # keeps the attention projections bf16); "w8a8s*" = static calibrated
+        # activation scales, "+calib" suffix = calibration forward
         quantized = getattr(cfg, "quantization", None)
-        attn_q = None if quantized == "w8a8_mlp" else quantized
-        mlp_q = "w8a8" if quantized == "w8a8_mlp" else quantized
+        from .quant import parse_tower_quant
+
+        base, static, calibf = parse_tower_quant(quantized)
+        suffix = "+calib" if (static and calibf) else ""
+        if base in ("w8a8_mlp", "w8a8s_mlp"):
+            attn_q = None
+            mlp_q = ("w8a8s" if static else "w8a8") + suffix
+        elif static:
+            attn_q = mlp_q = "w8a8s" + suffix
+        else:
+            attn_q = mlp_q = quantized
         attn_out, new_cache_kv, new_cache_scales = DecoderAttention(
             cfg.hidden_size, cfg.num_attention_heads, cfg.num_key_value_heads,
             cfg.head_dim, cfg.rope_theta, cfg.attention_bias, attn_q,

@@ -45,18 +45,31 @@ class SiglipAttention(nn.Module):
         # w8a8 loss came from the out_proj (whose input is the attention
         # output, needing its own quantize pass that can't fuse with the
         # Pallas flash kernel's epilogue) or from q/k/v themselves.
+        # "w8a8s*" variants replace the dynamic absmax with CALIBRATED static
+        # scales (quant.py: ActQuant / W8A8DenseS) so the quantize fuses into
+        # the producing layernorm's epilogue instead of costing extra HBM
+        # passes; "+calib" suffix runs dynamically while sowing per-site absmax.
         head_dim = self.hidden_size // self.num_heads
-        if self.quantized in ("w8a8", "w8a8_mlp_qkv"):
-            from .quant import W8A8Dense, W8A8DenseQ, quantize_rows
+        from .quant import parse_tower_quant, quant_covers
+
+        base, static, calib = parse_tower_quant(self.quantized)
+        if quant_covers(base, "qkv"):
+            from .quant import ActQuant, W8A8Dense, W8A8DenseQ, W8A8DenseS, quantize_rows
 
             # q/k/v share one quantized input (one activation pass, 3 int8
             # matmuls); out_proj quantizes its own input
-            xq, sx = quantize_rows(x)
+            if static:
+                xq, sx = ActQuant(calibrate=calib, name="qkv_quant")(x)
+            else:
+                xq, sx = quantize_rows(x)
             q = W8A8DenseQ(self.hidden_size, name="q_proj", dtype=self.dtype)(xq, sx)
             k = W8A8DenseQ(self.hidden_size, name="k_proj", dtype=self.dtype)(xq, sx)
             v = W8A8DenseQ(self.hidden_size, name="v_proj", dtype=self.dtype)(xq, sx)
             out = multi_head_attention(q, k, v, self.num_heads, scale=head_dim**-0.5, mask=mask)
-            if self.quantized == "w8a8":
+            if quant_covers(base, "out"):
+                if static:
+                    return W8A8DenseS(self.hidden_size, name="out_proj", dtype=self.dtype,
+                                      calibrate=calib)(out)
                 return W8A8Dense(self.hidden_size, name="out_proj", dtype=self.dtype)(out)
             return nn.Dense(self.hidden_size, name="out_proj", dtype=self.dtype)(out)
         dense = lambda name: nn.Dense(self.hidden_size, name=name, dtype=self.dtype)  # noqa: E731
@@ -75,12 +88,15 @@ class SiglipMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        from .quant import make_tower_dense
+        from .quant import make_tower_dense, parse_tower_quant, quant_covers
 
-        q = "w8a8" if self.quantized in ("w8a8_mlp", "w8a8_mlp_qkv") else self.quantized
-        x = make_tower_dense(q, self.intermediate_size, "fc1", self.dtype)(x)
+        base, static, calib = parse_tower_quant(self.quantized)
+        q = None
+        if quant_covers(base, "mlp"):
+            q = "w8a8s" if static else "w8a8"
+        x = make_tower_dense(q, self.intermediate_size, "fc1", self.dtype, calibrate=calib)(x)
         x = gelu_tanh(x)
-        return make_tower_dense(q, self.hidden_size, "fc2", self.dtype)(x)
+        return make_tower_dense(q, self.hidden_size, "fc2", self.dtype, calibrate=calib)(x)
 
 
 class SiglipEncoderLayer(nn.Module):
@@ -162,7 +178,10 @@ class SiglipEncoder(nn.Module):
             )
             scanned = nn.scan(
                 scan_target,
-                variable_axes={"params": 0},
+                # 'calib' carries the per-layer sown act_amax during a static-
+                # quant calibration forward (stacked on the layer axis, same
+                # layout as the act_scale params)
+                variable_axes={"params": 0, "calib": 0},
                 split_rngs={"params": True},
                 in_axes=(0, nn.broadcast),
                 out_axes=0,

@@ -73,6 +73,10 @@ def latest_valid_step(output_dir: str) -> Optional[int]:
     """
     import shutil
 
+    # Join any in-flight async commit first: its in-progress tmp dir would
+    # otherwise look like a crash leftover and be GC'd mid-write (and the
+    # just-saved step would be invisible to an immediate resume).
+    finalize_checkpoints(output_dir)
     root = _ckpt_dir(output_dir)
     if not os.path.isdir(root):
         return None

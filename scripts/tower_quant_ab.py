@@ -40,7 +40,7 @@ ARMS = os.environ.get("AB_ARMS", "none,w8a8_mlp,w8a8").split(",")
 import jax
 import jax.numpy as jnp
 
-from bench import random_params_like, relay_health, serving_config
+from bench import calibrate_static_tower, random_params_like, relay_health, serving_config
 from hicom_tpu.constants import VIDEO_TOKEN_INDEX
 from hicom_tpu.models.hicom import HIComModel
 
@@ -82,6 +82,12 @@ def build_arm(arm_name, aligned=False):
         lambda r: model.init(r, init_ids, frames[:1, :1], guide_ids=gids[:1], modal="video")["params"],
         jax.random.PRNGKey(0))
     params = {k: _shared_subtree(k, v) for k, v in shapes.items()}
+    if tq and tq.startswith("w8a8s"):
+        # static-scale arms need their act_scale params calibrated (one small
+        # untimed forward); copy the shared tree before mutating scales
+        params = dict(params)
+        params["vision_tower"] = jax.tree_util.tree_map(lambda x: x, params["vision_tower"])
+        params = calibrate_static_tower(model, cfg, params, frames, gids, tq)
 
     def pipeline(params, input_ids, frames, gids):
         def run(m):

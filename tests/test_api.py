@@ -337,3 +337,32 @@ def test_generate_auto_grows_cache(checkpoint):
     out = mm_infer(video, "tell me everything about the video " * 4, model, tokenizer,
                    modal="video", guide_ids=guide_ids, max_new_tokens=4)
     assert isinstance(out, str)
+
+
+def test_load_w8a8s_tower_and_calibrate(checkpoint):
+    """Static-quant tower serving path: load_model(load_w8a8_tower=mode) maps
+    the checkpoint's fp tower to the w8a8s layout (act_scale params at 1.0),
+    HICom.calibrate_tower fills the scales from a representative clip, and
+    mm_infer then runs the quantized tower end to end."""
+    import jax
+
+    from hicom_tpu.api import mm_infer, model_init
+
+    hc, processor, tokenizer = model_init(checkpoint, dtype="float32", cache_len=256,
+                                          load_w8a8_tower="w8a8s_mlp_qkv")
+    assert hc.config.vision_config.quantization == "w8a8s_mlp_qkv"
+    ones = [p for p, v in jax.tree_util.tree_leaves_with_path(hc.params["vision_tower"])
+            if "act_scale" in str(p)]
+    assert ones, "static mode must create act_scale params"
+
+    rng = np.random.default_rng(7)
+    video = rng.standard_normal((1, 4, 3, 56, 56)).astype(np.float32)
+    gids = rng.integers(1, TXT["vocab_size"], (1, 16))
+    hc.calibrate_tower(video, guide_ids=gids)
+    for p, v in jax.tree_util.tree_leaves_with_path(hc.params["vision_tower"]):
+        if "act_scale" in str(p):
+            assert not np.allclose(np.asarray(v), 1.0), p
+
+    out = mm_infer(video[0], "what is in the video ?", hc, tokenizer,
+                   modal="video", guide_ids=gids, max_new_tokens=4)
+    assert isinstance(out, str)

@@ -539,3 +539,100 @@ def test_w8a8_tower_scan_layers_matches_unrolled():
     stacked = stack_encoder_layers(qparams)
     f_sc, _ = sc.apply({"params": jax.tree.map(jnp.asarray, stacked)}, px)
     np.testing.assert_allclose(np.asarray(f_un), np.asarray(f_sc), rtol=1e-5, atol=1e-5)
+
+
+def test_w8a8s_static_tower_calibration():
+    """Static-scale w8a8 (``w8a8s*``): calibrated per-tensor activation scales
+    replace the per-call dynamic absmax so the quantize is pure elementwise
+    (models/quant.py:quantize_static). A '+calib' forward sows per-site absmax
+    into the 'calib' collection; fill_act_scales writes them into the param
+    tree; the served static tower then tracks fp, and the calibration forward
+    itself matches the served forward on the calibration batch."""
+    import dataclasses
+
+    from hicom_tpu.models.quant import fill_act_scales, quantize_tower_params
+
+    cfg = hcfg.SiglipVisionConfig(**VIS)
+    rng = np.random.default_rng(5)
+    px = jnp.asarray(rng.standard_normal((2, 3, 56, 56)).astype(np.float32))
+    fp = SiglipVisionTower(config=cfg, dtype=jnp.float32)
+    vars_fp = fp.init(jax.random.PRNGKey(0), px)
+    f_fp, e_fp = fp.apply(vars_fp, px)
+
+    qparams = quantize_tower_params(jax.device_get(vars_fp["params"]), mode="w8a8s")
+    l0 = qparams["encoder"]["layers_0"]
+    # quantize sites: q/k/v share one hoisted ActQuant; every self-quantizing
+    # dense carries a flat act_scale beside its kernel_q
+    assert "act_scale" in l0["mlp"]["fc1"] and "act_scale" in l0["mlp"]["fc2"]
+    assert "act_scale" in l0["self_attn"]["out_proj"]
+    assert "act_scale" in l0["self_attn"]["qkv_quant"]
+    assert "act_scale" not in l0["self_attn"]["q_proj"]
+    qparams = jax.tree.map(jnp.asarray, qparams)
+
+    ccfg = dataclasses.replace(cfg, quantization="w8a8s+calib")
+    ct = SiglipVisionTower(config=ccfg, dtype=jnp.float32)
+    (f_c, _), mut = ct.apply({"params": qparams}, px, mutable=["calib"])
+    filled = fill_act_scales(qparams, jax.device_get(mut["calib"]))
+    # every act_scale must have been written (left nowhere at the 1.0 init)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(filled):
+        if "act_scale" in str(path):
+            assert not np.allclose(np.asarray(leaf), 1.0), path
+
+    scfg = dataclasses.replace(cfg, quantization="w8a8s")
+    st = SiglipVisionTower(config=scfg, dtype=jnp.float32)
+    f_s, e_s = st.apply({"params": filled}, px)
+    # served static == calibration forward on the calibration batch (same
+    # scales, same int8 math; only fusion order differs)
+    np.testing.assert_allclose(np.asarray(f_s), np.asarray(f_c), rtol=1e-5, atol=1e-5)
+    a, b = np.asarray(f_fp).ravel(), np.asarray(f_s).ravel()
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    rel = float(np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9))
+    assert cos > 0.999 and rel < 0.04, (cos, rel)
+    ha, hb = np.asarray(e_fp).ravel(), np.asarray(e_s).ravel()
+    hcos = float(np.dot(ha, hb) / (np.linalg.norm(ha) * np.linalg.norm(hb)))
+    assert hcos > 0.999, hcos
+
+    # w8a8s_mlp_qkv coverage: out_proj stays an fp Dense, no out-site scale
+    mq = quantize_tower_params(jax.device_get(vars_fp["params"]), mode="w8a8s_mlp_qkv")
+    m0 = mq["encoder"]["layers_0"]
+    assert "kernel" in m0["self_attn"]["out_proj"] and "act_scale" in m0["self_attn"]["qkv_quant"]
+
+
+def test_w8a8s_tower_scan_layers_matches_unrolled():
+    """Static quant composes with scan_layers: calibration sows a stacked
+    (layer-axis) calib collection whose fill matches the unrolled tower."""
+    import dataclasses
+
+    from hicom_tpu.models.quant import fill_act_scales, quantize_tower_params
+    from hicom_tpu.weights import stack_encoder_layers
+
+    cfg = hcfg.SiglipVisionConfig(**VIS)
+    rng = np.random.default_rng(6)
+    px = jnp.asarray(rng.standard_normal((1, 3, 56, 56)).astype(np.float32))
+    fp = SiglipVisionTower(config=cfg, dtype=jnp.float32)
+    qparams = quantize_tower_params(
+        jax.device_get(fp.init(jax.random.PRNGKey(0), px)["params"]), mode="w8a8s")
+    qparams = jax.tree.map(jnp.asarray, qparams)
+
+    # calibrate on the UNROLLED tower, fill, then compare unrolled vs scanned
+    ccfg = dataclasses.replace(cfg, quantization="w8a8s+calib")
+    _, mut = SiglipVisionTower(config=ccfg, dtype=jnp.float32).apply(
+        {"params": qparams}, px, mutable=["calib"])
+    filled = fill_act_scales(qparams, jax.device_get(mut["calib"]))
+
+    scfg = dataclasses.replace(cfg, quantization="w8a8s")
+    f_un, _ = SiglipVisionTower(config=scfg, dtype=jnp.float32).apply({"params": filled}, px)
+    sccfg = dataclasses.replace(scfg, scan_layers=True)
+    f_sc, _ = SiglipVisionTower(config=sccfg, dtype=jnp.float32).apply(
+        {"params": jax.tree.map(jnp.asarray, stack_encoder_layers(jax.device_get(filled)))}, px)
+    np.testing.assert_allclose(np.asarray(f_un), np.asarray(f_sc), rtol=1e-5, atol=1e-5)
+
+    # scanned calibration sows per-layer amax on the layer axis and fills the
+    # stacked act_scale params directly
+    sccal = dataclasses.replace(sccfg, quantization="w8a8s+calib")
+    stacked = jax.tree.map(jnp.asarray, stack_encoder_layers(jax.device_get(qparams)))
+    _, smut = SiglipVisionTower(config=sccal, dtype=jnp.float32).apply(
+        {"params": stacked}, px, mutable=["calib"])
+    sfilled = fill_act_scales(stacked, jax.device_get(smut["calib"]))
+    f_sc2, _ = SiglipVisionTower(config=sccfg, dtype=jnp.float32).apply({"params": sfilled}, px)
+    np.testing.assert_allclose(np.asarray(f_sc2), np.asarray(f_un), rtol=1e-5, atol=1e-5)
