@@ -116,21 +116,24 @@ def main():
     ap.add_argument("--model", choices=("1.5b", "7b"), default="1.5b",
                     help="decoder scale; 7b runs the flagship Qwen2.5-7B dims with int8 weight-only (bf16 7B does not fit a 16GB chip)")
     ap.add_argument("--frames", type=int, default=32)
-    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=16,
+                    help="timed iterations (sync_every per group; the headline "
+                         "is the median group so >=4 groups ride out one "
+                         "co-tenant stall)")
     ap.add_argument("--sync-every", type=int, default=4,
                     help="host sync cadence (the ~30ms relay round trip is "
                          "pure idle; 4 keeps it ~1-2%% of a b=4 group)")
     ap.add_argument("--no-cache", action="store_true", help="don't overwrite the cached result (A/B runs)")
     ap.add_argument("--tower-quant", choices=("none", "w8a8", "w8a8_mlp", "w8a8_mlp_qkv",
                                               "w8a8s", "w8a8s_mlp", "w8a8s_mlp_qkv"),
-                    default=os.environ.get("HICOM_TOWER_QUANT", "w8a8_mlp_qkv"),
-                    help="serving-tower quantization (default w8a8_mlp_qkv: "
-                         "int8 MXU for fc1/fc2 + q/k/v with one shared "
-                         "activation quant; out_proj stays fp — interleaved "
-                         "chip A/B 175.2 vs w8a8_mlp 165.2 vs full-w8a8 139.2 "
-                         "f/s; w8a8s* = calibrated static activation scales, "
-                         "quantize fuses into the producer; 'none' = bf16 "
-                         "reference numerics)")
+                    default=os.environ.get("HICOM_TOWER_QUANT", "w8a8s_mlp_qkv"),
+                    help="serving-tower quantization (default w8a8s_mlp_qkv: "
+                         "int8 MXU for fc1/fc2 + q/k/v with CALIBRATED static "
+                         "activation scales so the quantize fuses into the "
+                         "producer; out_proj stays fp. Interleaved chip A/B "
+                         "2026-08-18: w8a8s_mlp_qkv 195.3 ~= full w8a8s 195.0 "
+                         "vs dynamic w8a8_mlp_qkv 177.8 f/s (+9.8%%); 'none' "
+                         "= bf16 reference numerics)")
     ap.add_argument("--dec-quant", choices=("none", "int8", "w8a8", "w8a8_mlp"),
                     default=os.environ.get("HICOM_DEC_QUANT", "w8a8"),
                     help="decoder quantization for the prefill bench (default "
@@ -410,12 +413,20 @@ def _run(args, flags):
 
     fn = jax.jit(pipeline)
     float(fn(params, input_ids, frames, gids))  # compile + warm
+    # one UNTIMED group after the compile fetch: the relay consistently runs
+    # the first post-compile group of a program 5-8x slow (observed in every
+    # fresh-program A/B round 0) — burn that before timing starts
+    acc = fn(params, input_ids, frames, gids)
+    for _ in range(args.sync_every - 1):
+        acc = acc + fn(params, input_ids, frames, gids)
+    float(acc)
 
     # Amortize the ~30ms host<->chip sync: queue sync_every iters per fetch.
     # Per-group times are kept so transient co-tenant stalls are visible: the
     # chip intermittently runs this program class at ~0.4x while the pure
     # matmul health chain stays green (observed 144 vs 60 f/s, same flags) —
-    # detail.best reports the cleanest group.
+    # the headline is the MEDIAN group (robust to one stalled group);
+    # detail keeps the mean, best, and raw per-group times.
     group_dts = []
     t0 = time.perf_counter()
     for i in range(0, args.iters, args.sync_every):
@@ -426,7 +437,8 @@ def _run(args, flags):
             acc = acc + fn(params, input_ids, frames, gids)
         float(acc)
         group_dts.append((time.perf_counter() - g0) / n_in_group)
-    dt = (time.perf_counter() - t0) / args.iters
+    mean_dt = (time.perf_counter() - t0) / args.iters
+    dt = sorted(group_dts)[len(group_dts) // 2]  # median group
     frames_per_sec = b * t / dt
     best_dt = min(group_dts)
 
@@ -475,8 +487,11 @@ def _run(args, flags):
             "batch_videos": b,
             "frames_per_video": t,
             "achieved_tflops": round(achieved_tflops, 1),
+            # vs the chip's measured bf16 matmul ceiling; int8 MXU ops count
+            # as 2 FLOPs each, so quantized configs can legitimately exceed 100
             "mfu_pct": round(100 * achieved_tflops / ceiling, 1),
             "best_frames_per_sec": round(b * t / best_dt, 2),
+            "mean_frames_per_sec": round(b * t / mean_dt, 2),
             "group_ms": [round(g * 1e3, 1) for g in group_dts],
             "config": "tiny" if args.small else (
                 ("so400m+qwen2.5-7B-int8" if args.model == "7b" else "so400m+qwen2.5-1.5B")

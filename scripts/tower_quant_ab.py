@@ -128,6 +128,11 @@ def main():
     if os.environ.get("AB_ALIGNED") == "1":
         arms["w8a8_mlp+aligned"] = build_arm("w8a8_mlp", aligned=True)
 
+    # untimed warm round: the relay runs the first post-compile group of each
+    # program 5-8x slow (observed 5564 -> 720 ms on round 0 of a fresh arm)
+    for timed in arms.values():
+        timed()
+
     groups = {k: [] for k in arms}
     for r in range(ROUNDS):
         for k, timed in arms.items():
