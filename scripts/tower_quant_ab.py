@@ -15,6 +15,11 @@ An arm named ``tower:dec`` additionally quantizes the DECODER linears for the
 prefill (``dec`` ∈ int8|w8a8|w8a8_mlp, e.g. ``w8a8_mlp_qkv:w8a8``) — the
 decoder is ~8% of e2e FLOPs, so this measures the int8-MXU tail.
 
+An ``@N`` suffix overrides the batch for that arm (e.g.
+``w8a8s_mlp_qkv:w8a8@8`` times the same config at 8 videos/step), so batch
+sweeps are interleaved in the same window as everything else; f/s figures use
+each arm's own batch.
+
 Optionally adds a FULLBLOCK_ALIGNED arm (decoder-prefill flash with full-seq
 blocks at d=128) via AB_ALIGNED=1 — the env gate is read at trace time, so the
 arm is traced under the flag and timed against the winner's default trace.
@@ -61,9 +66,10 @@ def _shared_subtree(name, sub_shapes):
 
 
 def build_arm(arm_name, aligned=False):
-    """Returns a zero-arg timed callable (compiled + warmed)."""
+    """Returns (batch, zero-arg timed callable) — compiled + warmed."""
     if aligned:
         os.environ["HICOM_FLASH_FULLBLOCK_ALIGNED"] = "1"
+    arm_name, _, batch_s = arm_name.partition("@")
     tower_quant, _, dec_quant = arm_name.partition(":")
     tq = None if tower_quant == "none" else tower_quant
     overrides = {"quantization": dec_quant} if dec_quant else {}
@@ -71,7 +77,7 @@ def build_arm(arm_name, aligned=False):
     model = HIComModel(config=cfg)
     rng = np.random.default_rng(0)
     img = cfg.vision_config.image_size
-    b, L = BATCH, 48
+    b, L = int(batch_s) if batch_s else BATCH, 48
     ids = rng.integers(5, cfg.text_config.vocab_size, (b, L))
     ids[:, 2] = VIDEO_TOKEN_INDEX
     input_ids = jnp.asarray(ids)
@@ -102,7 +108,7 @@ def build_arm(arm_name, aligned=False):
     fn = jax.jit(pipeline)
     t0 = time.perf_counter()
     float(fn(params, input_ids, frames, gids))  # compile + warm
-    print(f"  arm {tower_quant}{'+aligned' if aligned else ''}: compiled in "
+    print(f"  arm {tower_quant}{'+aligned' if aligned else ''}@{b}: compiled in "
           f"{time.perf_counter() - t0:.0f}s", file=sys.stderr)
     if aligned:
         os.environ.pop("HICOM_FLASH_FULLBLOCK_ALIGNED", None)
@@ -115,7 +121,7 @@ def build_arm(arm_name, aligned=False):
         float(acc)
         return (time.perf_counter() - g0) / GROUP
 
-    return timed
+    return b, timed
 
 
 def main():
@@ -130,23 +136,24 @@ def main():
 
     # untimed warm round: the relay runs the first post-compile group of each
     # program 5-8x slow (observed 5564 -> 720 ms on round 0 of a fresh arm)
-    for timed in arms.values():
+    for _, timed in arms.values():
         timed()
 
     groups = {k: [] for k in arms}
     for r in range(ROUNDS):
-        for k, timed in arms.items():
+        for k, (ab, timed) in arms.items():
             dt = timed()
             groups[k].append(dt)
             print(f"round {r} {k}: {dt * 1e3:.1f} ms/iter "
-                  f"({BATCH * FRAMES / dt:.1f} f/s)", file=sys.stderr)
+                  f"({ab * FRAMES / dt:.1f} f/s)", file=sys.stderr)
 
     out = {"batch": BATCH, "frames": FRAMES, "relay_health": health, "arms": {}}
     for k, dts in groups.items():
+        ab = arms[k][0]
         best = min(dts)
         out["arms"][k] = {
-            "mean_fps": round(BATCH * FRAMES * len(dts) / sum(dts), 1),
-            "best_fps": round(BATCH * FRAMES / best, 1),
+            "mean_fps": round(ab * FRAMES * len(dts) / sum(dts), 1),
+            "best_fps": round(ab * FRAMES / best, 1),
             "group_ms": [round(d * 1e3, 1) for d in dts],
         }
     print(json.dumps(out))
