@@ -370,7 +370,9 @@ def main(argv=None):
                 step_fns[key] = jax.jit(
                     make_train_step(model, optimizer, modal=key[0],
                                     has_frames=key[2], multi_image=key[1],
-                                    anyres_plan=key[3]),
+                                    anyres_plan=key[3],
+                                    tunable_parts=args.mm_tunable_parts,
+                                    use_guide=args.use_guide),
                     **jit_kw)
             return step_fns[key]
 

@@ -39,8 +39,26 @@ def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> tuple[jnp.ndarra
 
 
 def make_loss_fn(model, modal: str = "video", has_frames: bool = True, multi_image: bool = False,
-                 anyres_plan=None):
+                 anyres_plan=None, tunable_parts: Optional[str] = None,
+                 use_guide: Optional[str] = None):
+    """``tunable_parts`` (the reference's freeze matrix, optimizer.is_tunable):
+    frozen leaves are wrapped in ``stop_gradient`` INSIDE the loss, so JAX
+    prunes their entire backward at trace time — a frozen tower costs one
+    forward, not fwd+bwd. (The reference gets this via requires_grad=False;
+    without this, zeroing frozen grads after the fact still paid for the
+    tower backward — ~2× the tower FLOPs, and the tower dominates.)"""
+    freeze = None
+    if tunable_parts is not None:
+        from .optimizer import _path_str, is_tunable
+
+        def freeze(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda p, x: x if is_tunable(_path_str(p), tunable_parts, use_guide)
+                else jax.lax.stop_gradient(x), params)
+
     def loss_fn(params, batch):
+        if freeze is not None:
+            params = freeze(params)
         logits, labels, _ = model.apply(
             {"params": params},
             batch["input_ids"],
@@ -60,8 +78,10 @@ def make_loss_fn(model, modal: str = "video", has_frames: bool = True, multi_ima
 
 
 def make_train_step(model, optimizer, modal: str = "video", has_frames: bool = True, multi_image: bool = False,
-                    anyres_plan=None):
-    loss_fn = make_loss_fn(model, modal, has_frames, multi_image, anyres_plan)
+                    anyres_plan=None, tunable_parts: Optional[str] = None,
+                    use_guide: Optional[str] = None):
+    loss_fn = make_loss_fn(model, modal, has_frames, multi_image, anyres_plan,
+                           tunable_parts, use_guide)
 
     def train_step(state: TrainState, batch):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
