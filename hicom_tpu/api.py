@@ -43,6 +43,7 @@ class HICom:
     cache_len: int = 4096
     _gen_cache: dict = field(default_factory=dict)
     _eval_mesh: Any = None
+    _tower_calibrated: bool = False
 
     def shard_for_eval(self, mesh=None):
         """Replicate params over a mesh and shard subsequent batched-generate
@@ -81,7 +82,7 @@ class HICom:
                 self.config.vision_config,
                 quantization=(self.config.vision_config.quantization or "") + "+calib"))
         cmodel = HIComModel(config=ccfg)
-        f = jnp.asarray(frames, jnp.bfloat16)
+        f = jnp.asarray(frames, jnp.dtype(self.config.dtype))
         g = None
         if guide_ids is not None and self.config.guide_enabled():
             g = self.model.apply({"params": self.params}, jnp.asarray(guide_ids),
@@ -96,6 +97,25 @@ class HICom:
 
         _, mut = calib_fn(self.params, f, g)
         self.params = fill_act_scales(self.params, jax.device_get(mut["calib"]))
+        self._tower_calibrated = True
+
+    def _maybe_autocalibrate(self, frames, guide_ids, modal: str) -> None:
+        """Static-quant towers ("w8a8s*") ship with act_scale=1.0; calibrate
+        once on the first real frames so every entry point (mm_infer, eval
+        runner, serve prefill) gets correct scales without an explicit call.
+        Scales are per-tensor and shape-independent, so a small frame slice
+        suffices and the extra compile stays cheap."""
+        quant = getattr(self.config.vision_config, "quantization", None)
+        if self._tower_calibrated or not (isinstance(quant, str) and quant.startswith("w8a8s")):
+            return
+        if frames is None:
+            return
+        f = np.asarray(frames)
+        if f.ndim == 4:  # (t, 3, H, W) → add batch
+            f = f[None]
+        f = f[:1, : min(8, f.shape[1])]
+        g = np.asarray(guide_ids)[:1] if guide_ids is not None else None
+        self.calibrate_tower(f, guide_ids=g, modal=modal)
 
     def _place_batch(self, tree):
         """Shard array leaves' batch axis over the eval mesh when divisible."""
@@ -139,6 +159,8 @@ class HICom:
 
         temp = float(temperature) if do_sample else 0.0
         has_frames = frames is not None or visual_embeds is not None
+        if frames is not None:
+            self._maybe_autocalibrate(frames, guide_ids, modal)
 
         # auto-grow the KV cache for long prompts (e.g. 256-frame videos):
         # spliced length = L + n_sentinels*(V - 1), V from config (static) or
@@ -162,6 +184,20 @@ class HICom:
         cache_len = self.cache_len
         if need > cache_len:
             cache_len = ((need + 1023) // 1024) * 1024
+
+        # beyond-bucket prompts on a multi-chip mesh: prefill via ring
+        # attention (sequence axis sharded, KV rotated — parallel/ring.py)
+        # instead of one chip holding the whole (S, S) prefill. Composes with
+        # the sequence-parallel long-video encoder (mm_infer passes
+        # visual_embeds for >32-frame videos).
+        ring_min = int(os.environ.get("HICOM_RING_PREFILL_MIN", "16384"))
+        S_est = L + max(V - 1, 0)
+        if (has_frames and input_ids.shape[0] == 1 and attention_mask is None
+                and S_est >= ring_min and len(jax.devices()) > 1):
+            return self._generate_ring(
+                input_ids, frames, guide_ids, guide_mask, visual_embeds,
+                modal, max_new_tokens, temp, float(top_p), seed,
+                tuple(stop_sequences), max(cache_len, S_est))
 
         batch_in = self._place_batch({
             "input_ids": jnp.asarray(input_ids),
@@ -192,6 +228,62 @@ class HICom:
         )
         return np.asarray(out)
 
+    def _generate_ring(self, input_ids, frames, guide_ids, guide_mask,
+                       visual_embeds, modal: str, max_new_tokens: int,
+                       temperature: float, top_p: float, seed: int,
+                       stop_sequences: tuple, cache_len: int) -> np.ndarray:
+        """Beyond-bucket generation: encode+splice, ring-attention prefill
+        across the device mesh (parallel/ring.py), then the standard decode
+        loop over the assembled cache (models/generate.py:decode_tokens)."""
+        import jax
+        import jax.numpy as jnp
+
+        from .models.generate import decode_tokens
+        from .parallel.mesh import create_mesh
+        from .parallel.ring import ring_prefill
+
+        key = ("ring_splice", input_ids.shape,
+               None if frames is None else frames.shape,
+               None if visual_embeds is None else visual_embeds.shape, modal)
+        if key not in self._gen_cache:
+            def splice_fn(params, ids, f, g, gm, ve):
+                def run(m):
+                    visual = ve
+                    if visual is None:
+                        ge = None
+                        if m.config.guide_enabled():
+                            ge = m.encode_guide(g, gm)
+                        visual = m.encode_visual(f, ge, modal)
+                    sp = m.embed_and_splice(ids, visual)
+                    return sp.embeds, sp.positions, jnp.sum(
+                        sp.attention_mask.astype(jnp.int32), axis=1)
+
+                return self.model.apply({"params": params}, method=run)
+
+            self._gen_cache[key] = jax.jit(splice_fn)
+        dt = jnp.dtype(self.config.dtype)
+        embeds, positions, true_len = self._gen_cache[key](
+            self.params, jnp.asarray(input_ids),
+            None if frames is None else jnp.asarray(frames, dt),
+            None if guide_ids is None else jnp.asarray(guide_ids),
+            None if guide_mask is None else jnp.asarray(guide_mask),
+            None if visual_embeds is None else jnp.asarray(visual_embeds, dt))
+
+        mesh = create_mesh(dp=len(jax.devices()))
+        n = mesh.devices.size
+        S = embeds.shape[1]  # b=1 unpadded: spliced length == true length
+        cache_len = max(cache_len, -(-S // n) * n)
+        last_hidden, cache = ring_prefill(
+            self.model, self.params, embeds, positions, mesh, "dp",
+            cache_len=cache_len)
+        out = decode_tokens(
+            {"params": self.params}, cache, last_hidden, true_len,
+            jax.random.PRNGKey(seed), model=self.model,
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            top_p=top_p, eos_token_id=int(self.eos_token_id),
+            stop_sequences=stop_sequences)
+        return np.asarray(out)
+
     def encode_long_video(self, frames: np.ndarray, guide_ids=None, guide_mask=None) -> np.ndarray:
         """(t, 3, H, W) → (V, hidden) visual tokens with the t axis sharded
         over every device (sequence-parallel SigLIP + compression; see
@@ -203,6 +295,7 @@ class HICom:
         from .parallel.long_video import encode_visual_sharded
         from .parallel.mesh import create_mesh
 
+        self._maybe_autocalibrate(frames, guide_ids, "video")
         frames = jnp.asarray(frames, dtype=jnp.dtype(self.config.dtype))
         ge = None
         if self.config.guide_enabled() and guide_ids is not None:
@@ -227,6 +320,7 @@ class HICom:
         """(n, 3, H, W) anyres crops → (V, hidden) visual tokens."""
         import jax.numpy as jnp
 
+        self._maybe_autocalibrate(np.asarray(crops)[:1][None], guide_ids, "image")
         crops = jnp.asarray(crops, dtype=jnp.dtype(self.config.dtype))
 
         def run(m):
@@ -299,11 +393,20 @@ def load_model(
     load_8bit: bool = False,
     load_4bit: bool = False,
     load_w8a8_tower: bool = False,
+    dec_quant: Optional[str] = None,
     scan_layers: bool = False,
     scan_towers: bool = False,
     kv_cache_int8: bool = False,
 ) -> "HICom":
-    """Load a checkpoint directory into a device-resident HICom runtime."""
+    """Load a checkpoint directory into a device-resident HICom runtime.
+
+    ``dec_quant``: decoder serving quantization beyond the reference's
+    4/8-bit flags — "int8" (weight-only, == load_8bit), "nf4" (== load_4bit),
+    "w8a8" / "w8a8_mlp" (int8 MXU prefill, models/quant.py).
+    ``load_w8a8_tower``: True for "w8a8", or a mode string such as
+    "w8a8_mlp_qkv" / "w8a8s_mlp_qkv"; static "w8a8s*" modes self-calibrate
+    their activation scales on the first frames seen by :meth:`HICom.generate`.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -321,13 +424,18 @@ def load_model(
     qk_override = getattr(vision_cfg, "projection_dim", None)
     cfg = cfg.replace(vision_config=vision_cfg, guide_text_config=guide_cfg, dtype=dtype,
                       projector_qk_dim=qk_override)
-    if load_8bit or load_4bit or scan_layers or kv_cache_int8:
+    assert sum(map(bool, (load_8bit, load_4bit, dec_quant))) <= 1, \
+        "pick one decoder quantization (load_8bit / load_4bit / dec_quant)"
+    if load_8bit:
+        dec_quant = "int8"
+    elif load_4bit:
+        dec_quant = "nf4"
+    if dec_quant or scan_layers or kv_cache_int8:
         import dataclasses as _dc
 
-        assert not (load_8bit and load_4bit)
         cfg = cfg.replace(text_config=_dc.replace(
             cfg.text_config,
-            quantization="nf4" if load_4bit else ("int8" if load_8bit else None),
+            quantization=dec_quant,
             scan_layers=scan_layers,
             kv_cache_int8=kv_cache_int8,
         ))
@@ -404,11 +512,11 @@ def load_model(
         params["language_model"] = apply_lora(params["language_model"], {
             k.replace("language_model/", ""): v for k, v in lora.items()
         }, alpha=alpha, rank=rank)
-    if load_8bit or load_4bit:
+    if dec_quant:
         from .models.qwen2 import quantize_decoder_params
 
         params["language_model"] = quantize_decoder_params(
-            params["language_model"], mode="nf4" if load_4bit else "int8")
+            params["language_model"], mode=dec_quant)
     if scan_layers:
         params["language_model"] = W.stack_decoder_layers(params["language_model"])
     params["vision_tower"] = W.convert_clip_vision(tower_sd) if is_clip else W.convert_siglip_vision(tower_sd)

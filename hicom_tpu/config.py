@@ -114,6 +114,11 @@ class Qwen2Config:
     # gradient checkpointing: recompute layer activations in the backward pass
     # (jax.checkpoint) — trades ~30% step FLOPs for O(layers) less activation HBM
     remat: bool = False
+    # ring-attention prefill: when set (a mesh axis name, under shard_map),
+    # causal prefill attention rotates KV chunks around the ring instead of
+    # attending locally — the sequence axis is sharded across the mesh and
+    # the full (S, S) logits never exist on any one chip (parallel/ring.py).
+    ring_axis: Optional[str] = None
 
 
 @dataclass(frozen=True)

@@ -112,48 +112,90 @@ def generate_tokens(
         true_len = jnp.sum(spliced.attention_mask.astype(jnp.int32), axis=1)  # (b,)
         last_idx = true_len - 1
         last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)  # (b, 1, D)
-        logits = m.language_model.logits(last_hidden)[:, 0]  # (b, vocab)
+        return _sample_and_loop(m, cache, last_hidden, true_len, rng,
+                                max_new_tokens, temperature, top_p,
+                                eos_token_id, stop_sequences)
 
-        # single-use keys: the loop splits the carried key again, so consume a
-        # distinct subkey here (rng is a closure var — don't rebind it)
-        loop_rng, first_key = jax.random.split(rng)
-        first_tok = sample_token(logits, first_key, temperature, top_p)
+    return model.apply(variables, method=run)
 
-        out = jnp.full((b, max_new_tokens), eos_token_id, dtype=jnp.int32)
-        out = out.at[:, 0].set(first_tok.astype(jnp.int32))
-        done = first_tok == eos_token_id
-        for seq in stop_sequences:  # single-token keywords can stop at step 0
-            if len(seq) == 1:
-                done = done | (first_tok == seq[0])
 
-        def cond(state):
-            step, _, _, done, _ = state
-            return (step < max_new_tokens) & ~jnp.all(done)
+def _sample_and_loop(m, cache, last_hidden, true_len, rng, max_new_tokens,
+                     temperature, top_p, eos_token_id, stop_sequences):
+    """Shared tail of generation: sample the first token from the prefill's
+    last hidden state, then run the jitted decode while_loop. Used by both
+    :func:`generate_tokens` and :func:`decode_tokens` (the ring-prefill path)."""
+    b = last_hidden.shape[0]
+    logits = m.language_model.logits(last_hidden)[:, 0]  # (b, vocab)
 
-        def body(state):
-            step, cache, out, done, rng = state
-            cur = out[:, step - 1]
-            embeds = m.language_model.embed(cur[:, None])
-            # rope position = per-row true length (pads excluded), not cache slot
-            positions = (true_len + step - 1)[:, None]
-            hidden, cache = m.language_model.model(embeds, positions, cache)
-            logits = m.language_model.logits(hidden)[:, 0]
-            rng, sub = jax.random.split(rng)
-            tok = sample_token(logits, sub, temperature, top_p).astype(jnp.int32)
-            tok = jnp.where(done, eos_token_id, tok)
-            out = out.at[:, step].set(tok)
-            done = done | (tok == eos_token_id)
-            # keyword stop: tail of generated ids ending at `step` equals a
-            # keyword's token ids (unrolled over the small static set)
-            for seq in stop_sequences:
-                k = len(seq)
-                kw = jnp.asarray(seq, jnp.int32)
-                tail = jax.lax.dynamic_slice(out, (jnp.int32(0), step - (k - 1)), (b, k))
-                done = done | (jnp.all(tail == kw, axis=1) & (step + 1 >= k))
-            return step + 1, cache, out, done, rng
+    # single-use keys: the loop splits the carried key again, so consume a
+    # distinct subkey here (rng is a closure var — don't rebind it)
+    loop_rng, first_key = jax.random.split(rng)
+    first_tok = sample_token(logits, first_key, temperature, top_p)
 
-        state = (jnp.int32(1), cache, out, done, loop_rng)
-        _, _, out, _, _ = jax.lax.while_loop(cond, body, state)
-        return out
+    out = jnp.full((b, max_new_tokens), eos_token_id, dtype=jnp.int32)
+    out = out.at[:, 0].set(first_tok.astype(jnp.int32))
+    done = first_tok == eos_token_id
+    for seq in stop_sequences:  # single-token keywords can stop at step 0
+        if len(seq) == 1:
+            done = done | (first_tok == seq[0])
+
+    def cond(state):
+        step, _, _, done, _ = state
+        return (step < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        step, cache, out, done, rng = state
+        cur = out[:, step - 1]
+        embeds = m.language_model.embed(cur[:, None])
+        # rope position = per-row true length (pads excluded), not cache slot
+        positions = (true_len + step - 1)[:, None]
+        hidden, cache = m.language_model.model(embeds, positions, cache)
+        logits = m.language_model.logits(hidden)[:, 0]
+        rng, sub = jax.random.split(rng)
+        tok = sample_token(logits, sub, temperature, top_p).astype(jnp.int32)
+        tok = jnp.where(done, eos_token_id, tok)
+        out = out.at[:, step].set(tok)
+        done = done | (tok == eos_token_id)
+        # keyword stop: tail of generated ids ending at `step` equals a
+        # keyword's token ids (unrolled over the small static set)
+        for seq in stop_sequences:
+            k = len(seq)
+            kw = jnp.asarray(seq, jnp.int32)
+            tail = jax.lax.dynamic_slice(out, (jnp.int32(0), step - (k - 1)), (b, k))
+            done = done | (jnp.all(tail == kw, axis=1) & (step + 1 >= k))
+        return step + 1, cache, out, done, rng
+
+    state = (jnp.int32(1), cache, out, done, loop_rng)
+    _, _, out, _, _ = jax.lax.while_loop(cond, body, state)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "max_new_tokens", "temperature", "top_p",
+                     "eos_token_id", "stop_sequences"),
+)
+def decode_tokens(
+    variables,
+    cache: KVCache,  # prefilled (e.g. by parallel/ring.py:ring_prefill)
+    last_hidden: Array,  # (b, 1, D) final-norm hidden of the last real token
+    true_len: Array,  # (b,) prompt true lengths (rope positions continue here)
+    rng: Array,
+    *,
+    model,
+    max_new_tokens: int = 128,
+    temperature: float = 0.0,
+    top_p: float = 0.9,
+    eos_token_id: int = 0,
+    stop_sequences: tuple = (),
+) -> Array:
+    """Decode loop over an externally-prefilled KV cache. The ring-prefill
+    path (prompts beyond one bucket/HBM) prefills across the mesh, then
+    decodes here exactly as :func:`generate_tokens` would."""
+
+    def run(m):
+        return _sample_and_loop(m, cache, last_hidden, true_len, rng,
+                                max_new_tokens, temperature, top_p,
+                                eos_token_id, stop_sequences)
 
     return model.apply(variables, method=run)

@@ -282,6 +282,9 @@ class DecoderAttention(nn.Module):
     attention_bias: bool
     quantized: Any = None  # None | "int8" | "nf4"
     dtype: Any = jnp.float32
+    # mesh axis name for ring-attention prefill (set only on the shard_map
+    # twin built by parallel/ring.py:ring_prefill; None everywhere else)
+    ring_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -421,8 +424,19 @@ class DecoderAttention(nn.Module):
 
         # GQA: kv heads stay unrepeated — sdpa groups queries per kv head
         # (grouped einsum / folded-row flash; no g-times KV materialization).
-        out = sdpa(q, k_att, v_att, scale=hd**-0.5, mask=mask,
-                   is_causal=mask is None, kv_lengths=kv_lengths)
+        if self.ring_axis is not None and (cache_kv is None or prefill_from_empty):
+            # sequence axis sharded over the mesh: q/k/v here are this
+            # device's chunks; exact attention via KV rotation + online
+            # softmax (parallel/ring.py). Unpadded causal prompts only.
+            assert mask is None and kv_lengths is None, \
+                "ring prefill requires unpadded causal prompts"
+            from ..parallel.ring import ring_attention
+
+            out = ring_attention(q, k_att, v_att, self.ring_axis,
+                                 scale=hd**-0.5, is_causal=True)
+        else:
+            out = sdpa(q, k_att, v_att, scale=hd**-0.5, mask=mask,
+                       is_causal=mask is None, kv_lengths=kv_lengths)
         out = out.transpose(0, 2, 1, 3).reshape(b, L, H * hd)
         out = make_dense(self.quantized, self.hidden_size, False, self.dtype, "o_proj")(out)
         return out, new_cache_kv, new_cache_scales
@@ -470,7 +484,8 @@ class DecoderLayer(nn.Module):
         attn_out, new_cache_kv, new_cache_scales = DecoderAttention(
             cfg.hidden_size, cfg.num_attention_heads, cfg.num_key_value_heads,
             cfg.head_dim, cfg.rope_theta, cfg.attention_bias, attn_q,
-            dtype=self.dtype, name="self_attn",
+            dtype=self.dtype, ring_axis=getattr(cfg, "ring_axis", None),
+            name="self_attn",
         )(h, positions, cache_kv, cache_length, cache_valid, padding_mask, prefill_from_empty,
           padding_right_aligned, cache_scales, per_slot)
         x = x + attn_out

@@ -118,6 +118,92 @@ def ring_attention(
     return out.reshape(b, H, Lq, d).astype(q.dtype)
 
 
+def ring_prefill(
+    model,
+    params,
+    embeds: Array,  # (b, S, D) spliced [visual; text] embeddings, UNPADDED
+    positions: Array,  # (b, S) rope positions (arange for unpadded prompts)
+    mesh,
+    axis: str = "dp",
+    cache_len: Optional[int] = None,
+):
+    """Decoder prefill with the sequence axis sharded over mesh axis ``axis``.
+
+    The production entry for prompts beyond one prefill bucket / one chip's
+    HBM (e.g. hundreds of spliced video frames): each device runs the decoder
+    stack on its S/n-token chunk while every layer's attention rotates KV
+    chunks around the ring (``ring_attention``, config.ring_axis) — the full
+    (S, S) logits never exist on any one chip, and per-chip activation memory
+    is O(S/n). The reference has no long-context story at all (SURVEY §2.3).
+
+    Returns ``(last_hidden, cache)``: the final-norm hidden of the LAST real
+    token (b, 1, D) and a :class:`KVCache` of ``cache_len`` slots (default:
+    padded S) with length/validity set — ready for :func:`decode_tokens`.
+
+    Unpadded causal prompts only (positions must be row-wise arange; the
+    padded tail added for divisibility is masked out of the cache and is
+    causally invisible to real tokens).
+    """
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..models.hicom import HIComModel
+    from ..models.qwen2 import KVCache
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    n = mesh.shape[axis]
+    b, S, _ = embeds.shape
+    S_pad = -(-S // n) * n
+    if S_pad != S:
+        embeds = jnp.pad(embeds, ((0, 0), (0, S_pad - S), (0, 0)))
+        tail = positions[:, -1:] + 1 + jnp.arange(S_pad - S)[None]
+        positions = jnp.concatenate([positions, tail.astype(positions.dtype)], axis=1)
+
+    tc = model.config.text_config
+    twin = HIComModel(config=dataclasses.replace(
+        model.config, text_config=dataclasses.replace(tc, ring_axis=axis)))
+    dtype = jnp.dtype(model.config.dtype)
+    S_loc = S_pad // n
+
+    def body(params, emb, pos):
+        cache = KVCache.zeros(tc.num_hidden_layers, b, tc.num_key_value_heads,
+                              S_loc, tc.head_dim, dtype)
+
+        def run(m):
+            return m.language_model.model(emb, pos, cache, prefill_from_empty=True)
+
+        hidden, c2 = twin.apply({"params": params}, method=run)
+        return hidden, c2.k, c2.v
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(None, axis, None), P(None, axis)),
+        out_specs=(P(None, axis, None),
+                   P(None, None, None, axis, None),
+                   P(None, None, None, axis, None)),
+        check_vma=False,
+    )
+    hidden, k, v = jax.jit(fn)(params, embeds, positions)
+
+    if cache_len is None:
+        cache_len = S_pad
+    assert cache_len >= S_pad, (cache_len, S_pad)
+    pad = ((0, 0), (0, 0), (0, 0), (0, cache_len - S_pad), (0, 0))
+    cache = KVCache(
+        jnp.pad(k, pad), jnp.pad(v, pad),
+        jnp.full((b,), S, jnp.int32),
+        jnp.broadcast_to(jnp.arange(cache_len)[None, :] < S, (b, cache_len)),
+        None, None,
+    )
+    last_hidden = hidden[:, S - 1: S]
+    return last_hidden, cache
+
+
 def ring_self_attention(
     q: Array,  # (b, H, L, d) — GLOBAL arrays, sequence axis to be sharded
     k: Array,

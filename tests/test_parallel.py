@@ -236,6 +236,103 @@ def test_ring_attention_matches_sdpa():
                                    err_msg=f"causal={causal} lens={use_lens}")
 
 
+def test_frozen_stop_gradient_prunes_but_matches():
+    """make_loss_fn(tunable_parts=...) stop-gradients frozen leaves (pruning
+    their backward at trace time — the frozen tower costs fwd only); the
+    TUNABLE gradients must be identical to the unpruned loss."""
+    from hicom_tpu.train.train_step import make_loss_fn
+
+    cfg = tiny_test_config()
+    model = HIComModel(config=cfg)
+    batch = make_batch(cfg, b=2, t=2, L=10)
+    params = model.init(jax.random.PRNGKey(0), batch["input_ids"], batch["frames"],
+                        labels=batch["labels"], modal="video")["params"]
+    parts = "mm_projector,language_model"
+
+    g_full = jax.grad(lambda p: make_loss_fn(model)(p, batch)[0])(params)
+    g_pruned = jax.grad(
+        lambda p: make_loss_fn(model, tunable_parts=parts)(p, batch)[0])(params)
+
+    for name in ("mm_projector", "language_model"):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                    rtol=1e-5, atol=1e-6),
+            g_full[name], g_pruned[name])
+    # frozen tower grads are exact zeros under the pruned loss
+    assert all(float(jnp.max(jnp.abs(x))) == 0.0
+               for x in jax.tree_util.tree_leaves(g_pruned["vision_tower"]))
+    assert any(float(jnp.max(jnp.abs(x))) > 0.0
+               for x in jax.tree_util.tree_leaves(g_full["vision_tower"]))
+
+
+def test_ring_prefill_matches_direct_prefill():
+    """ring_prefill (sequence sharded over 8 devices, per-layer ring
+    attention via config.ring_axis) == the single-device decoder prefill:
+    last hidden, cache contents, lengths and validity. S=21 exercises the
+    divisibility padding (21 → 24 = 8 x 3)."""
+    from hicom_tpu.models.qwen2 import KVCache
+    from hicom_tpu.parallel.ring import ring_prefill
+
+    cfg = tiny_test_config()
+    model = HIComModel(config=cfg)
+    batch = make_batch(cfg, b=1, t=2, L=10)
+    params = model.init(jax.random.PRNGKey(0), batch["input_ids"], batch["frames"],
+                        modal="video")["params"]
+    tc = cfg.text_config
+    rng = np.random.default_rng(3)
+    S, D = 21, tc.hidden_size
+    embeds = jnp.asarray(rng.standard_normal((1, S, D)).astype(np.float32)) * 0.1
+    positions = jnp.arange(S, dtype=jnp.int32)[None]
+    cache_len = 32
+
+    def direct(p, emb, pos):
+        def run(m):
+            cache = KVCache.zeros(tc.num_hidden_layers, 1, tc.num_key_value_heads,
+                                  cache_len, tc.head_dim, jnp.float32)
+            return m.language_model.model(emb, pos, cache, prefill_from_empty=True)
+
+        return model.apply({"params": p}, method=run)
+
+    hidden_ref, cache_ref = jax.jit(direct)(params, embeds, positions)
+    mesh = create_mesh(dp=8)
+    last_hidden, cache = ring_prefill(model, params, embeds, positions, mesh,
+                                      "dp", cache_len=cache_len)
+    np.testing.assert_allclose(np.asarray(last_hidden[:, 0]),
+                               np.asarray(hidden_ref[:, S - 1]), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cache.k[:, :, :, :S]),
+                               np.asarray(cache_ref.k[:, :, :, :S]), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cache.v[:, :, :, :S]),
+                               np.asarray(cache_ref.v[:, :, :, :S]), rtol=2e-5, atol=2e-5)
+    assert int(cache.length[0]) == S
+    np.testing.assert_array_equal(np.asarray(cache.valid),
+                                  np.arange(cache_len)[None] < S)
+
+
+def test_generate_auto_routes_ring_prefill(monkeypatch):
+    """HICom.generate routes beyond-bucket prompts through ring_prefill +
+    decode_tokens (the public path, VERDICT r2 next-6) and produces the same
+    tokens as the single-program generate."""
+    from hicom_tpu.api import HICom
+
+    cfg = tiny_test_config()
+    model = HIComModel(config=cfg)
+    batch = make_batch(cfg, b=1, t=2, L=10)
+    params = model.init(jax.random.PRNGKey(0), batch["input_ids"], batch["frames"],
+                        modal="video")["params"]
+    hicom = HICom(config=cfg, model=model, params=params, eos_token_id=2,
+                  cache_len=64)
+    ids = np.asarray(batch["input_ids"])
+    frames = np.asarray(batch["frames"])
+
+    monkeypatch.setenv("HICOM_RING_PREFILL_MIN", "1000000")
+    ref = hicom.generate(ids, frames=frames, modal="video", max_new_tokens=6)
+    monkeypatch.setenv("HICOM_RING_PREFILL_MIN", "1")
+    hicom_ring = HICom(config=cfg, model=model, params=params, eos_token_id=2,
+                       cache_len=64)
+    got = hicom_ring.generate(ids, frames=frames, modal="video", max_new_tokens=6)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_remat_gradients_match():
     """--remat (nn.remat on decoder + vision blocks): identical loss and
     gradients, both unrolled and scanned decoders."""
