@@ -32,6 +32,15 @@ def build_parser():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--load-8bit", action="store_true")
     p.add_argument("--load-4bit", action="store_true")
+    p.add_argument("--tower-quant", default=None,
+                   choices=("w8a8", "w8a8_mlp", "w8a8_mlp_qkv",
+                            "w8a8s", "w8a8s_mlp", "w8a8s_mlp_qkv"),
+                   help="int8-MXU serving tower (models/quant.py); static "
+                        "w8a8s* modes self-calibrate on the first sample")
+    p.add_argument("--dec-quant", default=None,
+                   choices=("int8", "nf4", "w8a8", "w8a8_mlp"),
+                   help="decoder quantization (int8/nf4 == --load-8bit/4bit; "
+                        "w8a8* runs prefill on the int8 MXU)")
     p.add_argument("--kv-cache-int8", action="store_true")
     p.add_argument("--scan-layers", action="store_true")
     p.add_argument("--data-parallel", action="store_true",
@@ -55,6 +64,7 @@ def main(argv=None):
     model, processor, tokenizer = model_init(
         args.model_path, model_base=args.model_base, dtype=args.dtype,
         load_8bit=args.load_8bit, load_4bit=args.load_4bit,
+        load_w8a8_tower=args.tower_quant or False, dec_quant=args.dec_quant,
         kv_cache_int8=args.kv_cache_int8, scan_layers=args.scan_layers)
     if args.data_parallel:
         import jax as _jax

@@ -181,8 +181,101 @@ def build_mini_videomme(root: str, n_videos: int = 2, q_per_video: int = 2):
     return qf, vids, subs
 
 
+# Serving numerics modes swept by ``quant_sweep`` (VERDICT r2 next-1a): every
+# quantization the serving stack can load, scored against the fp reference
+# numerics on the same trained checkpoint. Keys: (runner argv, model_init
+# kwargs). "serving_default" is bench.py's headline config
+# (--tower-quant w8a8s_mlp_qkv --dec-quant w8a8).
+QUANT_MODES = {
+    "fp": ((), {}),
+    "int8_weight_only": (("--load-8bit",), {"load_8bit": True}),
+    "nf4": (("--load-4bit",), {"load_4bit": True}),
+    "tower_w8a8_mlp_qkv": (("--tower-quant", "w8a8_mlp_qkv"),
+                           {"load_w8a8_tower": "w8a8_mlp_qkv"}),
+    "tower_w8a8s_mlp_qkv": (("--tower-quant", "w8a8s_mlp_qkv"),
+                            {"load_w8a8_tower": "w8a8s_mlp_qkv"}),
+    "dec_w8a8": (("--dec-quant", "w8a8"), {"dec_quant": "w8a8"}),
+    "serving_default": (("--tower-quant", "w8a8s_mlp_qkv", "--dec-quant", "w8a8"),
+                        {"load_w8a8_tower": "w8a8s_mlp_qkv", "dec_quant": "w8a8"}),
+}
+
+
+def _greedy_tokens(hicom, tokenizer, processor, video_path: str, instruct: str,
+                   max_new: int) -> list:
+    """First ``max_new`` greedy tokens for one video prompt (token-level, so
+    quant-vs-fp agreement is measurable below the string level)."""
+    import numpy as np
+
+    from .constants import DEFAULT_VIDEO_TOKEN
+    from .data.prompts import tokenizer_multimodal_token
+
+    frames = processor["video"](video_path)
+    message = [{"role": "user", "content": DEFAULT_VIDEO_TOKEN + "\n" + instruct}]
+    prompt = tokenizer.apply_chat_template(message, tokenize=False,
+                                           add_generation_prompt=True)
+    ids = np.asarray(tokenizer_multimodal_token(
+        prompt, tokenizer, DEFAULT_VIDEO_TOKEN, return_tensors="np"))[None]
+    out = hicom.generate(ids, frames=np.asarray(frames)[None], modal="video",
+                         max_new_tokens=max_new, do_sample=False)
+    return [int(t) for t in out[0]]
+
+
+def quant_sweep(workdir: str, hf_export: str, qf: str, vids: str, subs: str,
+                max_new: int = 64, modes=None) -> dict:
+    """Re-score the mini Video-MME under every serving quantization mode and
+    measure greedy-token agreement vs the fp numerics (the reference evals in
+    bf16 — eval_video_mcqa_videomme.sh:36; this closes the "matched accuracy"
+    leg for the quantized serving defaults at tiny scale).
+
+    Returns {mode: {"videomme_accuracy": float, "token_agreement": float}}.
+    """
+    from .api import model_init
+    from .eval import scorers
+    from .eval.common import merge_chunked_videomme
+    from .eval.runner import main as runner_main
+
+    modes = {k: QUANT_MODES[k] for k in (modes or QUANT_MODES)}
+    prompts = [(os.path.join(vids, f), "what is in the video ? The best answer is:")
+               for f in sorted(os.listdir(vids)) if f.endswith(".mp4")]
+
+    results, ref_tokens = {}, None
+    for mode, (argv, kwargs) in modes.items():
+        answer_file = os.path.join(workdir, "eval_quant", f"preds_{mode}.json")
+        runner_main([
+            "--benchmark", "videomme",
+            "--model-path", hf_export,
+            "--question-file", qf,
+            "--video-folder", vids,
+            "--subtitle-folder", subs,
+            "--answer-file", answer_file,
+            "--dtype", "float32",
+            "--max-new-tokens", "4",
+        ] + list(argv))
+        report = scorers.score_videomme(
+            merge_chunked_videomme([answer_file]), ["short"], skip_missing=True)
+
+        hicom, processor, tokenizer = model_init(hf_export, dtype="float32", **kwargs)
+        toks = [_greedy_tokens(hicom, tokenizer, processor, vp, q, max_new)
+                for vp, q in prompts]
+        if mode == "fp":
+            ref_tokens = toks
+            agree = 1.0
+        else:
+            eos = int(hicom.eos_token_id)
+
+            def pad(seq):
+                return (list(seq) + [eos] * max_new)[:max_new]
+
+            matches = sum(a == b for r, t in zip(ref_tokens, toks)
+                          for a, b in zip(pad(r), pad(t)))
+            agree = matches / (len(prompts) * max_new)
+        results[mode] = {"videomme_accuracy": report["overall"],
+                         "token_agreement": round(agree, 4)}
+    return results
+
+
 def run(workdir: str, epochs: float = 20.0, num_frames: int = 4,
-        n_questions_videos: int = 2) -> dict:
+        n_questions_videos: int = 2, quant_modes=None) -> dict:
     from .eval import scorers
     from .eval.common import merge_chunked_videomme
     from .eval.runner import main as runner_main
@@ -258,6 +351,10 @@ def run(workdir: str, epochs: float = 20.0, num_frames: int = 4,
                       "answer_file": answer_file},
         "report": report,
     }
+    if quant_modes:
+        modes = None if quant_modes is True else quant_modes
+        out["quant_sweep"] = quant_sweep(workdir, hf_export, qf, vids, subs,
+                                         modes=modes)
     return out
 
 
@@ -266,13 +363,17 @@ def main(argv=None):
     p.add_argument("--workdir", default=None, help="default: a fresh temp dir")
     p.add_argument("--epochs", type=float, default=20.0, help="stage-2 SFT epochs")
     p.add_argument("--num-frames", type=int, default=4)
+    p.add_argument("--quant-sweep", action="store_true",
+                   help="re-score the mini Video-MME under every serving "
+                        "quantization mode + greedy-token agreement vs fp")
     args = p.parse_args(argv)
     workdir = args.workdir
     if workdir is None:
         import tempfile
 
         workdir = tempfile.mkdtemp(prefix="hicom_selftest_")
-    out = run(workdir, epochs=args.epochs, num_frames=args.num_frames)
+    out = run(workdir, epochs=args.epochs, num_frames=args.num_frames,
+              quant_modes=args.quant_sweep)
     print(json.dumps(out))
     return out
 

@@ -4,6 +4,11 @@ One test proving the full artifact chain end to end at tiny scale (VERDICT
 round-1 item 2): the 2-stage recipe on synthetic data produces a checkpoint
 that, reloaded from its HF-layout export, answers the mini Video-MME's
 constant-"B" questions well above the 25% MCQA chance floor.
+
+The same trained export is then re-scored under EVERY serving quantization
+mode (VERDICT round-2 item 1): int8 weight-only, NF4, dynamic/static w8a8
+towers, w8a8 decoder, and the bench.py headline combination — each must match
+the fp score exactly and agree with fp greedy decoding at the token level.
 """
 
 import pytest
@@ -13,16 +18,28 @@ pytest.importorskip("transformers")
 pytest.importorskip("cv2")
 
 
-def test_closed_accuracy_loop(tmp_path):
+def test_closed_accuracy_loop_with_quant_parity(tmp_path):
+    import os
+
     from hicom_tpu.selftest import run
 
-    out = run(str(tmp_path / "loop"), epochs=12)
+    out = run(str(tmp_path / "loop"), epochs=12, quant_modes=True)
     assert out["n_questions"] >= 4
     # the SFT data teaches a constant answer; a working train→export→reload→
     # eval chain must beat chance decisively (a broken link scores ~25% or 0)
     assert out["videomme_accuracy"] >= 75.0, out
-    import os
-
     assert os.path.exists(out["artifacts"]["mm_projector_bin"])
     assert os.path.isdir(out["artifacts"]["hf_export"])
     assert os.path.exists(out["artifacts"]["answer_file"])
+
+    # quant parity (VERDICT r2 next-1): every serving numerics mode — incl.
+    # the bench headline (w8a8s_mlp_qkv tower + w8a8 decoder) — must score
+    # the same mini Video-MME accuracy as fp on this trained model, and its
+    # greedy decode must agree with fp at the token level
+    sweep = out["quant_sweep"]
+    fp_acc = sweep["fp"]["videomme_accuracy"]
+    assert fp_acc >= 75.0, sweep
+    for mode, r in sweep.items():
+        assert r["videomme_accuracy"] == fp_acc, (mode, sweep)
+        assert r["token_agreement"] >= 0.8, (mode, sweep)
+    assert sweep["serving_default"]["token_agreement"] >= 0.9, sweep
