@@ -188,7 +188,14 @@ def process_video(
         cap = max(cap, num_frames)  # an explicit frame budget overrides the cap
     video_data = video_data[:cap]
 
-    if aspect_ratio == "pad":
+    if processor is None:
+        # raw-ingest mode: decoded uint8 frames only (t, h, w, 3) — the
+        # caller preprocesses on device (ops/preprocess.py); pad-to-square
+        # also happens there so pad bytes never ride the host→device link
+        from ..ops.preprocess import stack_uint8_frames
+
+        return stack_uint8_frames(video_data)
+    if aspect_ratio == "pad" and not getattr(processor, "pads_to_square", False):
         mean255 = tuple(int(x * 255) for x in processor.image_mean)
         video_data = [expand2square(f, mean255) for f in video_data]
     return processor.preprocess(video_data)["pixel_values"]
