@@ -124,6 +124,10 @@ def main():
                     help="host sync cadence (the ~30ms relay round trip is "
                          "pure idle; 4 keeps it ~1-2%% of a b=4 group)")
     ap.add_argument("--no-cache", action="store_true", help="don't overwrite the cached result (A/B runs)")
+    ap.add_argument("--no-bf16-arm", action="store_true",
+                    help="skip the interleaved fp-numerics reference arm "
+                         "(default ON so every bench JSON carries both "
+                         "vs_baseline and vs_baseline_bf16; skip for quick A/Bs)")
     ap.add_argument("--tower-quant", choices=("none", "w8a8", "w8a8_mlp", "w8a8_mlp_qkv",
                                               "w8a8s", "w8a8s_mlp", "w8a8s_mlp_qkv"),
                     default=os.environ.get("HICOM_TOWER_QUANT", "w8a8s_mlp_qkv"),
@@ -142,8 +146,20 @@ def main():
     ap.add_argument("--decode", action="store_true",
                     help="measure decode steps at b∈{1,4,8} instead of the "
                          "e2e prefill metric (serving throughput table)")
+    ap.add_argument("--train", action="store_true",
+                    help="measure the sharded train step at the serving shape "
+                         "(stage-2 freeze matrix, remat + flash fwd/bwd): "
+                         "step ms, target tokens/s, achieved TFLOP/s + MFU")
     ap.add_argument("--kv-int8", action="store_true", help="decode mode: int8 KV cache")
+    ap.add_argument("--from-disk", action="store_true",
+                    help="e2e including HOST INGEST: decode+preprocess real "
+                         "mp4s from disk (native reader) while the chip "
+                         "computes — the headline can't silently exclude ingest")
     args = ap.parse_args()
+    if args.train and args.model == "7b":
+        ap.error("--train measures the full-finetune step; the 7b config is "
+                 "int8 weight-only (not differentiable) — 7B training is the "
+                 "QLoRA path (train/cli.py --bits 4/8), bench it at 1.5b")
 
     alive = tpu_alive()
     if not args.small and not alive:
@@ -158,7 +174,9 @@ def main():
     # New Pallas paths (grouped-GQA flash etc.) default-on: if anything fails
     # to compile on the real chip, step down to safe flags rather than crash
     # the benchmark (each retry clears jit caches so env gates re-apply).
-    runner = _run_decode if args.decode else _run
+    runner = (_run_train if args.train else
+              _run_decode if args.decode else
+              _run_from_disk if args.from_disk else _run)
     for attempt, env in enumerate((
         {},
         {"HICOM_FLASH_GQA": "0"},
@@ -272,6 +290,117 @@ def calibrate_static_tower(model, cfg, params, frames, gids, tower_quant):
     return fill_act_scales(params, jax.device_get(mut["calib"]))
 
 
+def _run_train(args, flags):
+    """Training-step throughput at the serving shape (VERDICT r2 next-4):
+    so400m tower (frozen, fwd-only via stop_gradient pruning) + trainable
+    projector + decoder, remat + flash fwd/bwd, stage-2 freeze matrix
+    (reference ``directg_local43_global32.sh:95-139``), grad-accum 1.
+
+    ``vs_baseline`` = measured step rate over the analytic A100 model of the
+    same step (bf16 roofline @45% MFU — BASELINE.md §baseline-derivation).
+    NOTE: Adam moments here are bf16 (optax inherits the param dtype); the
+    reference trains fp32 moments under ZeRO — the matmul FLOPs measured are
+    identical, only the (bandwidth-bound) update differs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from hicom_tpu.constants import IGNORE_INDEX, VIDEO_TOKEN_INDEX
+    from hicom_tpu.models.hicom import HIComModel
+    from hicom_tpu.train.optimizer import build_optimizer
+    from hicom_tpu.train.train_step import TrainState, make_train_step
+
+    parts = "mm_projector,language_model"
+    cfg = serving_config(args.model, frames=args.frames, remat=True)
+    model = HIComModel(config=cfg)
+    rng = np.random.default_rng(0)
+    img = cfg.vision_config.image_size
+    b, t, L = args.batch, args.frames, 48
+    ids = rng.integers(5, cfg.text_config.vocab_size, (b, L))
+    ids[:, 2] = VIDEO_TOKEN_INDEX
+    labels = np.array(ids)
+    labels[:, :8] = IGNORE_INDEX
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "frames": jnp.asarray(rng.standard_normal((b, t, 3, img, img)).astype(np.float32), jnp.bfloat16),
+        "labels": jnp.asarray(labels),
+        "guide_ids": jnp.asarray(rng.integers(1, cfg.guide_text_config.vocab_size, (b, 24))),
+    }
+
+    shapes = jax.eval_shape(
+        lambda r: model.init(r, batch["input_ids"][:1, :8].at[0, 2].set(VIDEO_TOKEN_INDEX),
+                             batch["frames"][:1, :1], guide_ids=batch["guide_ids"][:1],
+                             labels=batch["labels"][:1, :8], modal="video")["params"],
+        jax.random.PRNGKey(0))
+    params = random_params_like(shapes)
+    optimizer = build_optimizer(
+        shapes, learning_rate=1e-5, total_steps=1000, tunable_parts=parts,
+        use_guide=cfg.use_guide, schedule_kind="constant")
+    opt_state = jax.jit(optimizer.init)(params)
+    state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+    health = relay_health()
+    print(f"relay_health: {health}", file=sys.stderr)
+
+    step = jax.jit(
+        make_train_step(model, optimizer, tunable_parts=parts, use_guide=cfg.use_guide),
+        donate_argnums=0)
+
+    state, metrics = step(state, batch)
+    float(metrics["loss"])  # compile + warm fetch
+    for _ in range(args.sync_every):  # untimed post-compile group (relay warmup)
+        state, metrics = step(state, batch)
+    float(metrics["loss"])
+
+    group_dts = []
+    for i in range(0, args.iters, args.sync_every):
+        n_in_group = min(args.sync_every, args.iters - i)
+        g0 = time.perf_counter()
+        for _ in range(n_in_group):
+            state, metrics = step(state, batch)
+        float(metrics["loss"])
+        group_dts.append((time.perf_counter() - g0) / n_in_group)
+    dt = sorted(group_dts)[len(group_dts) // 2]
+
+    # FLOPs: frozen tower forward ONCE (stop_gradient prunes its backward);
+    # trainable projector/decoder ≈ 3x forward (fwd + 2x bwd); lm_head 3x.
+    v, tc = cfg.vision_config, cfg.text_config
+    tokens = v.num_patches
+    vis_params = v.num_hidden_layers * (4 * v.hidden_size**2 + 2 * v.hidden_size * v.intermediate_size)
+    vis = 2 * vis_params * tokens * (b * t) + v.num_hidden_layers * (b * t) * 4 * tokens**2 * v.hidden_size
+    Vtok = 680
+    S = L - 1 + Vtok
+    dec_params = tc.num_hidden_layers * (
+        tc.hidden_size * tc.head_dim * (tc.num_attention_heads + 2 * tc.num_key_value_heads)
+        + tc.num_attention_heads * tc.head_dim * tc.hidden_size
+        + 3 * tc.hidden_size * tc.intermediate_size)
+    dec = 2 * dec_params * S * b + tc.num_hidden_layers * b * 2 * S**2 * tc.num_attention_heads * tc.head_dim
+    head = 2 * tc.vocab_size * tc.hidden_size * S * b
+    flops = vis + 3 * (dec + head)  # remat recompute not counted (honest MFU)
+    a100_sec = flops / (312e12 * 0.45)
+    achieved_tflops = flops / dt / 1e12
+    ceiling = max(131.0, (health or {}).get("tflops", 0.0))
+    result = {
+        "metric": "train_step_target_tokens_per_sec_per_chip",
+        "value": round(b * S / dt, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(a100_sec / dt, 3),
+        "detail": {
+            "step_ms": round(dt * 1e3, 1),
+            "batch_videos": b, "frames_per_video": t, "spliced_len": S,
+            "achieved_tflops": round(achieved_tflops, 1),
+            "mfu_pct": round(100 * achieved_tflops / ceiling, 1),
+            "group_ms": [round(g * 1e3, 1) for g in group_dts],
+            "tunable_parts": parts, "remat": True,
+            "config": "so400m+qwen2.5-7B-int8" if args.model == "7b" else "so400m+qwen2.5-1.5B",
+            "baseline_model": "analytic A100 bf16 roofline @45% MFU, same step (BASELINE.md §baseline-derivation)",
+            "relay_health": health,
+            **({"fallback_flags": flags} if flags else {}),
+        },
+    }
+    print(json.dumps(result))
+
+
 def _run_decode(args, flags):
     """Serving decode-step table at b∈{1,4,8} (one weight stream amortized
     over b sequences — batched decode is near-free until the cache reads
@@ -351,11 +480,17 @@ def _run_decode(args, flags):
     print(json.dumps(result))
 
 
-def _run(args, flags):
+def _make_arm(args, tower_quant: str, dec_quant: str):
+    """Build one numerics arm of the e2e pipeline: (jitted fn, inputs, cfg).
+
+    An "arm" is a fully-independent compiled program + param set for one
+    quantization config, so the quantized headline and the bf16 reference
+    numerics can be timed interleaved in the same relay window (chip
+    throughput varies ~3x across windows — CLAUDE.md)."""
     import jax
     import jax.numpy as jnp
 
-    from hicom_tpu.config import HIComConfig, Qwen2Config, SiglipTextConfig, SiglipVisionConfig, tiny_test_config
+    from hicom_tpu.config import tiny_test_config
     from hicom_tpu.constants import VIDEO_TOKEN_INDEX
     from hicom_tpu.models.hicom import HIComModel
 
@@ -363,12 +498,10 @@ def _run(args, flags):
         cfg = tiny_test_config(use_guide="direct", dtype="bfloat16")
         t = 4
     else:
-        # "7b": flagship dims, int8 weight-only (QuantDense): ~7.6GB decoder
-        # weights + bf16 tower fits one 16GB chip.
-        tq = None if args.tower_quant == "none" else args.tower_quant
-        # "7b" already carries quantization="int8" (weight-only); only
-        # override when the flag asks for a different decoder mode.
-        dq = {} if args.dec_quant == "none" or args.model == "7b" else {"quantization": args.dec_quant}
+        # "7b": flagship dims; bf16 7B does not fit a 16GB chip, so its
+        # fp-reference arm keeps int8 weight-only weights (bf16 MXU math).
+        tq = None if tower_quant == "none" else tower_quant
+        dq = {} if dec_quant == "none" else {"quantization": dec_quant}
         cfg = serving_config(args.model, frames=args.frames, tower_quant=tq, **dq)
         t = args.frames
 
@@ -390,8 +523,8 @@ def _run(args, flags):
         jax.random.PRNGKey(0),
     )
     params = random_params_like(shapes)
-    if not args.small and args.tower_quant.startswith("w8a8s"):
-        params = calibrate_static_tower(model, cfg, params, frames, gids, args.tower_quant)
+    if not args.small and tower_quant.startswith("w8a8s"):
+        params = calibrate_static_tower(model, cfg, params, frames, gids, tower_quant)
 
     def pipeline(params, input_ids, frames, gids):
         def run(m):
@@ -406,38 +539,180 @@ def _run(args, flags):
 
         return model.apply({"params": params}, method=run)
 
+    fn = jax.jit(pipeline)
+    inputs = (params, input_ids, frames, gids)
+    return fn, inputs, cfg, b, t
+
+
+def _warm_arm(fn, inputs, sync_every: int):
+    """Compile + burn one untimed group: the relay consistently runs the
+    first post-compile timed group of a fresh program 5-8x slow (observed in
+    every fresh-program A/B round 0)."""
+    float(fn(*inputs))  # compile + warm
+    acc = fn(*inputs)
+    for _ in range(sync_every - 1):
+        acc = acc + fn(*inputs)
+    float(acc)
+
+
+def _time_groups(fn, inputs, iters: int, sync_every: int):
+    """One pass of timed groups; returns per-group seconds-per-iteration.
+    Amortizes the ~30ms host<->chip sync by queueing sync_every iters per
+    fetch."""
+    group_dts = []
+    for i in range(0, iters, sync_every):
+        g0 = time.perf_counter()
+        acc = 0.0
+        n_in_group = min(sync_every, iters - i)
+        for _ in range(n_in_group):
+            acc = acc + fn(*inputs)
+        float(acc)
+        group_dts.append((time.perf_counter() - g0) / n_in_group)
+    return group_dts
+
+
+def _run_from_disk(args, flags):
+    """End-to-end INCLUDING host ingest (VERDICT r2 next-3): every iteration
+    decodes + preprocesses a fresh batch of real mp4s from disk (native libav
+    reader + SigLIP preprocess) with a one-ahead prefetch thread, uploads,
+    and runs the chip pipeline. The headline from-disk rate is gated by
+    whichever stage is slowest; detail separates ingest-only and the chip-
+    only rate (see the default bench) so the limiter is visible.
+
+    Caveat recorded in the JSON: on this tunneled dev chip the 108MB/iter
+    frame upload rides the relay (not PCIe), so `upload_ms` is an artifact of
+    the tunnel, not of a production TPU host."""
+    import concurrent.futures
+    import tempfile
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from ingest_bench import write_realistic_mp4
+
+    from hicom_tpu.data.processor import SiglipImagePreprocessor
+    from hicom_tpu.data.video import process_video
+
+    fn, inputs, cfg, b, t = _make_arm(args, args.tower_quant, args.dec_quant)
+    params, input_ids, frames0, gids = inputs
+
+    pool_dir = tempfile.mkdtemp(prefix="hicom_fromdisk_")
+    n_pool = max(2 * b, 8)
+    paths = []
+    for i in range(n_pool):
+        p = os.path.join(pool_dir, f"clip{i}.mp4")
+        write_realistic_mp4(p, seconds=6.0, seed=i)
+        paths.append(p)
+    proc = SiglipImagePreprocessor(size=(cfg.vision_config.image_size,) * 2)
+
+    def ingest_batch(i):
+        vids = [process_video(paths[(i * b + j) % n_pool], processor=proc, num_frames=t)
+                for j in range(b)]
+        return np.stack([np.asarray(v) for v in vids])
+
+    # ingest-only rate (serial, same videos)
+    ingest_batch(0)  # warm
+    g0 = time.perf_counter()
+    for i in range(3):
+        ingest_batch(i)
+    ingest_fps = 3 * b * t / (time.perf_counter() - g0)
+    print(f"ingest-only: {ingest_fps:.1f} frames/s", file=sys.stderr)
+
+    health = relay_health()
+    print(f"relay_health: {health}", file=sys.stderr)
+    _warm_arm(fn, inputs, args.sync_every)
+
+    # upload-only probe: time H2D of one batch (tunnel artifact on this relay)
+    fd = jnp.asarray(ingest_batch(0), jnp.bfloat16)
+    float(jnp.sum(fd[0, 0, 0, :2, :2].astype(jnp.float32)))
+    u0 = time.perf_counter()
+    fd = jnp.asarray(ingest_batch(1), jnp.bfloat16)  # includes one ingest
+    float(jnp.sum(fd[0, 0, 0, :2, :2].astype(jnp.float32)))
+    upload_ms = (time.perf_counter() - u0) * 1e3
+
+    ex = concurrent.futures.ThreadPoolExecutor(1)
+    nxt = ex.submit(ingest_batch, 0)
+    group_dts = []
+    it = 0
+    for gi in range(max(1, args.iters // args.sync_every)):
+        g0 = time.perf_counter()
+        acc = 0.0
+        for _ in range(args.sync_every):
+            frames_np = nxt.result()
+            it += 1
+            nxt = ex.submit(ingest_batch, it)  # prefetch overlaps chip + upload
+            fdev = jnp.asarray(frames_np, jnp.bfloat16)
+            acc = acc + fn(params, input_ids, fdev, gids)
+        float(acc)
+        group_dts.append((time.perf_counter() - g0) / args.sync_every)
+    ex.shutdown(wait=False)
+    dt = sorted(group_dts)[len(group_dts) // 2]
+    fps = b * t / dt
+    result = {
+        "metric": "video_frames_per_sec_per_chip_from_disk",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / max(ingest_fps, 1e-9), 3),
+        "detail": {
+            "pipelined_from_disk_fps": round(fps, 2),
+            "ingest_only_fps": round(ingest_fps, 1),
+            "upload_plus_one_ingest_ms": round(upload_ms, 1),
+            "upload_note": "H2D rides the dev-relay tunnel, not PCIe — "
+                           "production TPU hosts upload at >10GB/s",
+            "group_ms": [round(g * 1e3, 1) for g in group_dts],
+            "batch_videos": b, "frames_per_video": t,
+            "baseline_model": "ingest-only rate (vs_baseline ~1.0 = fully ingest-overlapped)",
+            "relay_health": health,
+            **({"fallback_flags": flags} if flags else {}),
+        },
+    }
+    print(json.dumps(result))
+
+
+def _run(args, flags):
+    import jax
+
+    # Arms: the quantized headline + the fp-numerics reference arm measured
+    # in the SAME window (VERDICT r2 weak-1: the bench must carry BOTH
+    # vs_baseline and vs_baseline_bf16 so the quantized multiple is honest).
+    arms = {"headline": (args.tower_quant, args.dec_quant)}
+    fp_dec = "int8" if args.model == "7b" else "none"  # bf16 7B doesn't fit
+    dual = (not args.small and not args.no_bf16_arm
+            and (args.tower_quant, args.dec_quant) != ("none", fp_dec))
+    if dual:
+        arms["bf16"] = ("none", fp_dec)
+
+    built = {}
+    for name, (tq, dq) in arms.items():
+        built[name] = _make_arm(args, tq, dq)
+
     health = None
     if not args.small:
         health = relay_health()
         print(f"relay_health: {health}", file=sys.stderr)
 
-    fn = jax.jit(pipeline)
-    float(fn(params, input_ids, frames, gids))  # compile + warm
-    # one UNTIMED group after the compile fetch: the relay consistently runs
-    # the first post-compile group of a program 5-8x slow (observed in every
-    # fresh-program A/B round 0) — burn that before timing starts
-    acc = fn(params, input_ids, frames, gids)
-    for _ in range(args.sync_every - 1):
-        acc = acc + fn(params, input_ids, frames, gids)
-    float(acc)
+    for name in built:
+        fn, inputs, _, _, _ = built[name]
+        _warm_arm(fn, inputs, args.sync_every)
 
-    # Amortize the ~30ms host<->chip sync: queue sync_every iters per fetch.
     # Per-group times are kept so transient co-tenant stalls are visible: the
     # chip intermittently runs this program class at ~0.4x while the pure
     # matmul health chain stays green (observed 144 vs 60 f/s, same flags) —
     # the headline is the MEDIAN group (robust to one stalled group);
-    # detail keeps the mean, best, and raw per-group times.
-    group_dts = []
-    t0 = time.perf_counter()
-    for i in range(0, args.iters, args.sync_every):
-        g0 = time.perf_counter()
-        acc = 0.0
-        n_in_group = min(args.sync_every, args.iters - i)
-        for _ in range(n_in_group):
-            acc = acc + fn(params, input_ids, frames, gids)
-        float(acc)
-        group_dts.append((time.perf_counter() - g0) / n_in_group)
-    mean_dt = (time.perf_counter() - t0) / args.iters
+    # detail keeps the mean, best, and raw per-group times. With two arms the
+    # groups are INTERLEAVED round-robin so both see the same window.
+    groups = {name: [] for name in built}
+    n_rounds = max(1, args.iters // args.sync_every)
+    per_round = args.sync_every
+    for _ in range(n_rounds):
+        for name in built:
+            fn, inputs, _, _, _ = built[name]
+            groups[name].extend(_time_groups(fn, inputs, per_round, args.sync_every))
+
+    _, _, cfg, b, t = built["headline"]
+    L = 48  # prompt ids per video (see _make_arm)
+    group_dts = groups["headline"]
+    mean_dt = sum(group_dts) / len(group_dts)
     dt = sorted(group_dts)[len(group_dts) // 2]  # median group
     frames_per_sec = b * t / dt
     best_dt = min(group_dts)
@@ -477,6 +752,25 @@ def _run(args, flags):
     # bf16); the live health figure supersedes it when higher
     ceiling = max(131.0, (health or {}).get("tflops", 0.0))
 
+    bf16_detail = {}
+    if dual:
+        bdts = groups["bf16"]
+        bdt = sorted(bdts)[len(bdts) // 2]
+        bf16_fps = b * t / bdt
+        bf16_detail = {
+            # the SAME computation at fp-reference numerics, measured in the
+            # same window (interleaved groups): the honest "matched numerics"
+            # comparison the quantized headline rides on (BASELINE.md §origin)
+            "bf16_frames_per_sec": round(bf16_fps, 2),
+            "vs_baseline_bf16": round(bf16_fps / a100_frames_per_sec, 3),
+            "bf16_mfu_pct": round(100 * (flops / bdt / 1e12) / ceiling, 1),
+            "bf16_group_ms": [round(g * 1e3, 1) for g in bdts],
+            "quant_speedup_vs_bf16": round(frames_per_sec / bf16_fps, 3),
+        }
+    elif (args.tower_quant, args.dec_quant) == ("none", fp_dec):
+        # the headline itself IS the fp-numerics arm
+        bf16_detail = {"vs_baseline_bf16": round(vs_baseline, 3)}
+
     result = {
         "metric": "video_frames_per_sec_per_chip_e2e_prefill",
         "value": round(frames_per_sec, 2),
@@ -493,11 +787,12 @@ def _run(args, flags):
             "best_frames_per_sec": round(b * t / best_dt, 2),
             "mean_frames_per_sec": round(b * t / mean_dt, 2),
             "group_ms": [round(g * 1e3, 1) for g in group_dts],
+            **bf16_detail,
             "config": "tiny" if args.small else (
                 ("so400m+qwen2.5-7B-int8" if args.model == "7b" else "so400m+qwen2.5-1.5B")
                 + (f"-tower:{args.tower_quant}" if args.tower_quant != "none" else "")
-                + (f"-dec:{args.dec_quant}" if args.dec_quant != "none" and args.model != "7b" else "")),
-            "baseline_model": "analytic A100 bf16 roofline @45% MFU, same computation",
+                + (f"-dec:{args.dec_quant}" if args.dec_quant != "none" else "")),
+            "baseline_model": "analytic A100 bf16 roofline @45% MFU, same computation (derivation: BASELINE.md §baseline-derivation)",
             **({"relay_health": health} if health else {}),
             **({"fallback_flags": flags} if flags else {}),
         },

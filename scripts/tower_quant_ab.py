@@ -69,7 +69,15 @@ def build_arm(arm_name, aligned=False):
     """Returns (batch, zero-arg timed callable) — compiled + warmed."""
     if aligned:
         os.environ["HICOM_FLASH_FULLBLOCK_ALIGNED"] = "1"
-    arm_name, _, batch_s = arm_name.partition("@")
+    # '@N' batch override binds tighter than the ':dec' spec and must come
+    # last: 'tq:dec@N' (ADVICE r2: rpartition + explicit digit check so a
+    # misplaced override fails with a named error, not a bare int() crash)
+    arm_name, sep, batch_s = arm_name.rpartition("@")
+    if not sep:
+        arm_name, batch_s = batch_s, ""
+    if batch_s and not batch_s.isdigit():
+        raise ValueError(f"arm batch override must be '...@<int>', got "
+                         f"'@{batch_s}' (full arm: '{arm_name}@{batch_s}')")
     tower_quant, _, dec_quant = arm_name.partition(":")
     tq = None if tower_quant == "none" else tower_quant
     overrides = {"quantization": dec_quant} if dec_quant else {}
@@ -152,6 +160,7 @@ def main():
         ab = arms[k][0]
         best = min(dts)
         out["arms"][k] = {
+            "batch": ab,  # per-arm batch ('@N' overrides the global BATCH)
             "mean_fps": round(ab * FRAMES * len(dts) / sum(dts), 1),
             "best_fps": round(ab * FRAMES / best, 1),
             "group_ms": [round(d * 1e3, 1) for d in dts],
