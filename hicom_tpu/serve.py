@@ -19,6 +19,14 @@ over every active request — while requests join and leave between rounds
   finished streams (eos / keyword / budget), and syncs once per round — the
   right shape for the 30ms-round-trip TPU relay.
 
+Admission is **asynchronous** (r3): ``_admit`` only *dispatches* the prefill,
+the on-device first-token sample, the cache insert, and the slot-state
+scatter — it never blocks on a device→host fetch, so the next decode round is
+enqueued immediately behind the prefill in the device queue and resident
+slots never wait on host round-trips. First-token bookkeeping (eos check,
+budget) is deferred to the round's single sync in ``_harvest``; the decode
+round itself reads the correct on-device ``cur/pos/done`` regardless.
+
 Single video/image per request (the multi-image K-sentinel batch path in
 train/dataset.py is a training feature); keyword stops are applied at round
 granularity like the API layer's post-decode trim, so returned text matches
@@ -103,9 +111,12 @@ class ServeEngine:
         self.cache = KVCache.zeros(
             tc.num_hidden_layers, n_slots, tc.num_key_value_heads, cache_len,
             tc.head_dim, jnp.dtype(model.config.dtype), quantized=self._quantized_cache)
-        self._cur = np.full((n_slots,), eos_token_id, np.int32)
-        self._pos = np.zeros((n_slots,), np.int32)
-        self._done = np.ones((n_slots,), bool)  # empty slots are "done"
+        # per-slot decode state lives ON DEVICE: admission updates it with
+        # enqueued scatters (never a host fetch), so prefills overlap the
+        # scheduler instead of stalling every resident slot on a round trip
+        self._cur = jnp.full((n_slots,), eos_token_id, jnp.int32)
+        self._pos = jnp.zeros((n_slots,), jnp.int32)
+        self._done = jnp.ones((n_slots,), bool)  # empty slots are "done"
         self._rng = jax.random.PRNGKey(seed)
 
         self._slots = [_Slot() for _ in range(n_slots)]
@@ -114,6 +125,9 @@ class ServeEngine:
         self._next_id = 0
         self._prefill_fns: dict = {}
         self._steps_fn = None
+        # slots admitted this round whose first token hasn't been fetched yet:
+        # [(slot_idx, first_token_array, budget)] — resolved at the round sync
+        self._pending_first: List[Tuple[int, Any, int]] = []
 
     # ------------------------------------------------------------- scheduling
 
@@ -148,15 +162,20 @@ class ServeEngine:
         if self._steps_fn is None:
             self._steps_fn = self._make_steps(self.sync_steps)
         self._rng, sub = jax.random.split(self._rng)
-        self.cache, cur, pos, done, toks = self._steps_fn(
-            self.variables, self.cache, jnp.asarray(self._cur),
-            jnp.asarray(self._pos), jnp.asarray(self._done), sub)
-        # ONE host sync per round (relay round-trips dominate at small models)
+        self.cache, self._cur, self._pos, self._done, toks = self._steps_fn(
+            self.variables, self.cache, self._cur, self._pos, self._done, sub)
+        # ONE host sync per round (relay round-trips dominate at small models):
+        # the first tokens of this round's admissions ride the same sync —
+        # by now the device has already run their prefills AND this round
+        firsts = {}
+        if self._pending_first:
+            vals = np.asarray(jnp.concatenate(
+                [f for _, f, _ in self._pending_first]))
+            firsts = {slot: (int(v), budget) for (slot, _, budget), v
+                      in zip(self._pending_first, vals)}
+            self._pending_first = []
         toks = np.asarray(toks)
-        self._cur = np.array(cur)  # np.array: writable copies (asarray views
-        self._pos = np.array(pos)  # of jax buffers are read-only)
-        self._done = np.array(done)
-        self._harvest(toks)
+        self._harvest(toks, firsts)
 
     # -------------------------------------------------------------- internals
 
@@ -167,6 +186,11 @@ class ServeEngine:
         return None
 
     def _admit(self) -> None:
+        """Dispatch-only admission: prefill, on-device first-token sample,
+        cache insert and slot-state scatter are all ENQUEUED — no host fetch,
+        so the following decode round lines up right behind the prefill in
+        the device queue. First-token bookkeeping resolves at the round sync
+        (``step_round`` → ``_harvest``)."""
         for slot_idx, slot in enumerate(self._slots):
             if not self._queue:
                 return
@@ -175,17 +199,24 @@ class ServeEngine:
             rid, req = self._queue.popleft()
             first_tok, small_cache, true_len = self._prefill(req)
             self.cache = self._insert(self.cache, small_cache, slot_idx)
-            self._cur[slot_idx] = first_tok
-            self._pos[slot_idx] = true_len
-            done = (first_tok == self.eos_token_id) or req.max_new_tokens <= 1
-            self._done[slot_idx] = done
+            self._cur, self._pos, self._done = self._admit_update(
+                self._cur, self._pos, self._done, jnp.int32(slot_idx),
+                first_tok, true_len, jnp.int32(self.eos_token_id),
+                jnp.asarray(req.max_new_tokens <= 1))
             self._slots[slot_idx] = _Slot(
                 request_id=rid, budget=req.max_new_tokens,
-                generated=[int(first_tok)] if first_tok != self.eos_token_id else [],
                 stop_sequences=tuple(tuple(s) for s in req.stop_sequences),
                 prompt_len=len(req.input_ids))
-            if done:
-                self._finish(slot_idx)
+            self._pending_first.append((slot_idx, first_tok, req.max_new_tokens))
+
+    @staticmethod
+    @jax.jit
+    def _admit_update(cur, pos, done, slot, first, true_len, eos, budget_done):
+        """Scatter one admitted request's decode state into the slot arrays."""
+        cur = cur.at[slot].set(first[0].astype(jnp.int32))
+        pos = pos.at[slot].set(true_len[0].astype(jnp.int32))
+        done = done.at[slot].set((first[0] == eos) | budget_done)
+        return cur, pos, done
 
     def _prefill(self, req: GenRequest):
         L = len(req.input_ids)
@@ -214,7 +245,7 @@ class ServeEngine:
         logits, cache, true_len = self._prefill_fns[key](
             self.variables, jnp.asarray(ids), jnp.asarray(mask), frames, gids, gmask)
         first = sample_token(logits, sub, self.temperature, self.top_p)
-        return int(first[0]), cache, int(true_len[0])
+        return first, cache, true_len  # device arrays — caller never syncs
 
     def _make_prefill(self, modal: str, has_frames: bool):
         model = self.model
@@ -290,13 +321,24 @@ class ServeEngine:
 
         return jax.jit(steps)
 
-    def _harvest(self, toks: np.ndarray) -> None:
+    def _harvest(self, toks: np.ndarray, firsts=None) -> None:
+        firsts = firsts or {}
         for slot_idx, slot in enumerate(self._slots):
             if slot.request_id < 0:
                 continue
             slot.rounds += 1
             finished = False
-            for t in toks[slot_idx]:
+            stream = list(toks[slot_idx])
+            if slot_idx in firsts:
+                # prefill's first token (deferred from _admit's async dispatch)
+                first, budget = firsts[slot_idx]
+                stream = [first] + stream
+                if budget <= 1:  # max_new_tokens 1: the first token is all
+                    stream = stream[:1] if first != self.eos_token_id else []
+                    finished = True
+                    slot.generated.extend(stream)
+                    stream = []
+            for t in stream:
                 t = int(t)
                 if t == self.eos_token_id:
                     finished = True
@@ -316,7 +358,7 @@ class ServeEngine:
                         break
                 if finished:
                     break
-            if finished or self._done[slot_idx]:
+            if finished:
                 self._finish(slot_idx)
 
     def _finish(self, slot_idx: int) -> None:
@@ -325,5 +367,7 @@ class ServeEngine:
             tokens=np.asarray(slot.generated, np.int32),
             prompt_len=slot.prompt_len, steps=slot.rounds)
         self._slots[slot_idx] = _Slot()
-        self._done[slot_idx] = True
-        self._cur[slot_idx] = self.eos_token_id
+        # enqueued scatters (no host sync): freed slots decode dead air until
+        # reused, which the done flag freezes anyway
+        self._done = self._done.at[slot_idx].set(True)
+        self._cur = self._cur.at[slot_idx].set(self.eos_token_id)
