@@ -155,6 +155,11 @@ def main():
                     help="e2e including HOST INGEST: decode+preprocess real "
                          "mp4s from disk (native reader) while the chip "
                          "computes — the headline can't silently exclude ingest")
+    ap.add_argument("--host-preprocess", action="store_true",
+                    help="from-disk mode: preprocess on the host (PIL-parity "
+                         "C++/PIL path) instead of the default on-device "
+                         "pad+resize+normalize (ops/preprocess.py) — the A/B "
+                         "for the ~300ms/video host scalar-resize cost")
     args = ap.parse_args()
     if args.train and args.model == "7b":
         ap.error("--train measures the full-finetune step; the 7b config is "
@@ -579,12 +584,22 @@ def _run_from_disk(args, flags):
     whichever stage is slowest; detail separates ingest-only and the chip-
     only rate (see the default bench) so the limiter is visible.
 
-    Caveat recorded in the JSON: on this tunneled dev chip the 108MB/iter
-    frame upload rides the relay (not PCIe), so `upload_ms` is an artifact of
-    the tunnel, not of a production TPU host."""
+    Two ingest modes: the DEFAULT uploads raw decoded uint8 frames and runs
+    pad-to-square + PIL-parity bicubic resize + normalize ON DEVICE fused
+    into the pipeline program (ops/preprocess.py — two small matmuls per
+    frame on the MXU, and uint8 uploads are 2x smaller than bf16 pixels);
+    ``--host-preprocess`` keeps the host path (the reference's shape:
+    decord + HF processor in DataLoader workers) for the A/B. The host's
+    scalar resize costs ~300ms/32-frame video on this 1-core machine
+    (scripts/ingest_bench.py) — that cost is what the device mode deletes.
+
+    Caveat recorded in the JSON: on this tunneled dev chip the frame upload
+    rides the relay (not PCIe), so `upload_ms` is an artifact of the tunnel,
+    not of a production TPU host."""
     import concurrent.futures
     import tempfile
 
+    import jax
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
@@ -592,9 +607,11 @@ def _run_from_disk(args, flags):
 
     from hicom_tpu.data.processor import SiglipImagePreprocessor
     from hicom_tpu.data.video import process_video
+    from hicom_tpu.ops.preprocess import make_device_preprocess
 
     fn, inputs, cfg, b, t = _make_arm(args, args.tower_quant, args.dec_quant)
     params, input_ids, frames0, gids = inputs
+    img = cfg.vision_config.image_size
 
     pool_dir = tempfile.mkdtemp(prefix="hicom_fromdisk_")
     n_pool = max(2 * b, 8)
@@ -603,30 +620,55 @@ def _run_from_disk(args, flags):
         p = os.path.join(pool_dir, f"clip{i}.mp4")
         write_realistic_mp4(p, seconds=6.0, seed=i)
         paths.append(p)
-    proc = SiglipImagePreprocessor(size=(cfg.vision_config.image_size,) * 2)
+    proc = SiglipImagePreprocessor(size=(img, img))
 
-    def ingest_batch(i):
+    def ingest_host(i):
+        """disk → host-preprocessed (b, t, 3, img, img) float (the reference's
+        DataLoader shape: decode + PIL-parity resize on the host)."""
         vids = [process_video(paths[(i * b + j) % n_pool], processor=proc, num_frames=t)
                 for j in range(b)]
         return np.stack([np.asarray(v) for v in vids])
 
-    # ingest-only rate (serial, same videos)
+    def ingest_raw(i):
+        """disk → raw decoded uint8 (b, t, h, w, 3): no host pixel math."""
+        vids = [process_video(paths[(i * b + j) % n_pool], processor=None, num_frames=t)
+                for j in range(b)]
+        return np.stack(vids)
+
+    device_pre = not args.host_preprocess
+    if device_pre:
+        raw0 = ingest_raw(0)
+        _, _, h, w, _ = raw0.shape
+        pre = make_device_preprocess(h, w, img, out_dtype=jnp.bfloat16)
+
+        base_fn, fn = fn, jax.jit(
+            # fused program: device preprocess feeds the tower directly
+            lambda p, ids, raw, g: base_fn(p, ids, jax.vmap(pre)(raw), g))
+        ingest_batch = ingest_raw
+        inputs = (params, input_ids, jnp.asarray(raw0), gids)
+    else:
+        ingest_batch = ingest_host
+
+    # ingest-only rates (serial, same videos): the host rate is what the
+    # device mode deletes; the raw rate is the decode floor that remains
     ingest_batch(0)  # warm
     g0 = time.perf_counter()
     for i in range(3):
         ingest_batch(i)
     ingest_fps = 3 * b * t / (time.perf_counter() - g0)
-    print(f"ingest-only: {ingest_fps:.1f} frames/s", file=sys.stderr)
+    print(f"ingest-only ({'raw' if device_pre else 'host-preprocess'}): "
+          f"{ingest_fps:.1f} frames/s", file=sys.stderr)
 
     health = relay_health()
     print(f"relay_health: {health}", file=sys.stderr)
     _warm_arm(fn, inputs, args.sync_every)
 
     # upload-only probe: time H2D of one batch (tunnel artifact on this relay)
-    fd = jnp.asarray(ingest_batch(0), jnp.bfloat16)
+    up_dtype = None if device_pre else jnp.bfloat16
+    fd = jnp.asarray(ingest_batch(0), up_dtype)
     float(jnp.sum(fd[0, 0, 0, :2, :2].astype(jnp.float32)))
     u0 = time.perf_counter()
-    fd = jnp.asarray(ingest_batch(1), jnp.bfloat16)  # includes one ingest
+    fd = jnp.asarray(ingest_batch(1), up_dtype)  # includes one ingest
     float(jnp.sum(fd[0, 0, 0, :2, :2].astype(jnp.float32)))
     upload_ms = (time.perf_counter() - u0) * 1e3
 
@@ -641,7 +683,7 @@ def _run_from_disk(args, flags):
             frames_np = nxt.result()
             it += 1
             nxt = ex.submit(ingest_batch, it)  # prefetch overlaps chip + upload
-            fdev = jnp.asarray(frames_np, jnp.bfloat16)
+            fdev = jnp.asarray(frames_np, up_dtype)
             acc = acc + fn(params, input_ids, fdev, gids)
         float(acc)
         group_dts.append((time.perf_counter() - g0) / args.sync_every)
@@ -654,6 +696,7 @@ def _run_from_disk(args, flags):
         "unit": "frames/s",
         "vs_baseline": round(fps / max(ingest_fps, 1e-9), 3),
         "detail": {
+            "ingest_mode": "device_preprocess" if device_pre else "host_preprocess",
             "pipelined_from_disk_fps": round(fps, 2),
             "ingest_only_fps": round(ingest_fps, 1),
             "upload_plus_one_ingest_ms": round(upload_ms, 1),

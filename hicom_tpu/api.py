@@ -562,8 +562,18 @@ def load_model(
                  eos_token_id=eos, cache_len=cache_len)
 
 
-def model_init(model_path: str, model_base: Optional[str] = None, **kwargs):
-    """Reference-compatible entry: returns (model, processor dict, tokenizer)."""
+def model_init(model_path: str, model_base: Optional[str] = None,
+               device_preprocess: Optional[bool] = None, **kwargs):
+    """Reference-compatible entry: returns (model, processor dict, tokenizer).
+
+    ``device_preprocess`` (default: env HICOM_DEVICE_PREPROCESS, else off)
+    swaps the VIDEO processor for the on-chip pad+resize+normalize
+    (ops/preprocess.py): the host only decodes, uploading raw uint8 frames —
+    the fix for the 1-core host's ~300ms/video scalar resize (the reference
+    hides the same cost in 8 DataLoader workers,
+    inference_video_mcqa_videomme.py:325-326). Only applies when
+    image_aspect_ratio == "pad" (the release configs); images keep the host
+    path (anyres grids need host-side PIL geometry)."""
     from transformers import AutoTokenizer
 
     model = load_model(model_path, model_base=model_base, **kwargs)
@@ -576,6 +586,14 @@ def model_init(model_path: str, model_base: Optional[str] = None, **kwargs):
     image_processor = SiglipImagePreprocessor(
         size=(cfg.vision_config.image_size, cfg.vision_config.image_size)
     )
+    if device_preprocess is None:
+        device_preprocess = os.environ.get("HICOM_DEVICE_PREPROCESS", "") == "1"
+    video_processor = image_processor
+    if device_preprocess and cfg.image_aspect_ratio == "pad":
+        from .ops.preprocess import DeviceSiglipPreprocessor
+
+        video_processor = DeviceSiglipPreprocessor(
+            size=(cfg.vision_config.image_size, cfg.vision_config.image_size))
     processor = {
         "image": partial(
             process_image,
@@ -587,7 +605,7 @@ def model_init(model_path: str, model_base: Optional[str] = None, **kwargs):
         ),
         "video": partial(
             process_video,
-            processor=image_processor,
+            processor=video_processor,
             aspect_ratio=cfg.image_aspect_ratio,
             num_frames=cfg.num_frames,
         ),

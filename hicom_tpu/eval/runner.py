@@ -41,6 +41,11 @@ def build_parser():
                    choices=("int8", "nf4", "w8a8", "w8a8_mlp"),
                    help="decoder quantization (int8/nf4 == --load-8bit/4bit; "
                         "w8a8* runs prefill on the int8 MXU)")
+    p.add_argument("--device-preprocess", action="store_true",
+                   help="pad+resize+normalize video frames ON DEVICE "
+                        "(ops/preprocess.py): the host only decodes — the fix "
+                        "for 1-core hosts where the PIL/C++ resize can't feed "
+                        "the chip (reference hides this in 8 DataLoader workers)")
     p.add_argument("--kv-cache-int8", action="store_true")
     p.add_argument("--scan-layers", action="store_true")
     p.add_argument("--data-parallel", action="store_true",
@@ -65,6 +70,7 @@ def main(argv=None):
         args.model_path, model_base=args.model_base, dtype=args.dtype,
         load_8bit=args.load_8bit, load_4bit=args.load_4bit,
         load_w8a8_tower=args.tower_quant or False, dec_quant=args.dec_quant,
+        device_preprocess=args.device_preprocess,
         kv_cache_int8=args.kv_cache_int8, scan_layers=args.scan_layers)
     if args.data_parallel:
         import jax as _jax

@@ -13,6 +13,10 @@ tenancy drift can't masquerade as a slot-count effect.
 
 Run: HICOM_SKIP_PROBE=1 python scripts/serve_bench.py         (1.5b dims)
      AB_SLOTS=1,4,8 AB_REQS=16 python scripts/serve_bench.py
+     AB_ADMIT_AB=1 AB_SLOTS=4,8 python scripts/serve_bench.py  (async- vs
+       sync-admission arms interleaved: quantifies the r3 dispatch-only
+       _admit — the sync arm stalls every resident slot on a prefill +
+       host round trip per admission, VERDICT r2 weak-6)
 """
 import json
 import os
@@ -28,6 +32,8 @@ N_REQS = int(os.environ.get("AB_REQS", "12"))
 MAX_NEW = int(os.environ.get("AB_MAX_NEW", "64"))
 CACHE_LEN = int(os.environ.get("AB_CACHE_LEN", "1024"))
 SYNC_STEPS = int(os.environ.get("AB_SYNC", "16"))
+ADMIT_AB = os.environ.get("AB_ADMIT_AB", "") == "1"
+OUT_JSON = os.environ.get("AB_OUT")  # also write the JSON artifact here
 
 import jax
 import jax.numpy as jnp  # noqa: F401
@@ -38,11 +44,12 @@ from hicom_tpu.models.hicom import HIComModel
 from hicom_tpu.serve import GenRequest, ServeEngine
 
 
-def build(n_slots, cfg, model, params):
+def build(n_slots, cfg, model, params, sync_admission=False):
     return ServeEngine(
         model, {"params": params}, n_slots=n_slots, cache_len=CACHE_LEN,
         prompt_buckets=(64,), sync_steps=SYNC_STEPS,
-        eos_token_id=cfg.text_config.eos_token_id)
+        eos_token_id=cfg.text_config.eos_token_id,
+        sync_admission=sync_admission)
 
 
 def requests(cfg, n):
@@ -82,38 +89,53 @@ def main():
     params = random_params_like(shapes)
 
     # build + warm every arm first (compile outside the timing windows),
-    # then time arms interleaved
+    # then time arms interleaved. Arms: one per slot count; AB_ADMIT_AB adds
+    # a sync-admission twin per slot count (same compiled fns — the engines
+    # share nothing but jit caches, so the twin costs no extra compiles).
+    arm_specs = [(s, False) for s in SLOTS]
+    if ADMIT_AB:
+        arm_specs += [(s, True) for s in SLOTS if s > 1]
     engines = {}
-    for s in SLOTS:
-        eng = build(s, cfg, model, params)
+    for s, sync_adm in arm_specs:
+        name = f"{s}{'_syncadmit' if sync_adm else ''}"
+        eng = build(s, cfg, model, params, sync_admission=sync_adm)
         for r in requests(cfg, s):  # warm: compiles prefill + steps
             eng.submit(r)
         t0 = time.perf_counter()
         eng.run()
-        print(f"  slots={s}: compiled+warmed in {time.perf_counter() - t0:.0f}s",
+        print(f"  slots={name}: compiled+warmed in {time.perf_counter() - t0:.0f}s",
               file=sys.stderr)
-        engines[s] = eng
+        engines[name] = eng
 
     out = {"model": MODEL, "max_new": MAX_NEW, "n_reqs": N_REQS,
            "sync_steps": SYNC_STEPS, "relay_health": health, "arms": {}}
-    for s, eng in engines.items():
+    for name, eng in engines.items():
         for r in requests(cfg, N_REQS):
             eng.submit(r)
         t0 = time.perf_counter()
         results = eng.run()
         dt = time.perf_counter() - t0
         toks = sum(len(r.tokens) + 1 for r in results.values())  # + eos step
-        out["arms"][str(s)] = {
+        out["arms"][name] = {
             "wall_s": round(dt, 2),
             "tok_per_s": round(toks / dt, 1),
             "req_per_s": round(len(results) / dt, 2),
         }
-        print(f"slots={s}: {out['arms'][str(s)]}", file=sys.stderr)
+        print(f"slots={name}: {out['arms'][name]}", file=sys.stderr)
     base = out["arms"].get("1", {}).get("tok_per_s")
     if base:
-        for s in out["arms"]:
-            out["arms"][s]["vs_sequential"] = round(out["arms"][s]["tok_per_s"] / base, 2)
-    print(json.dumps(out))
+        for name in out["arms"]:
+            out["arms"][name]["vs_sequential"] = round(
+                out["arms"][name]["tok_per_s"] / base, 2)
+    for s in SLOTS:  # async-vs-sync admission speedup per slot count
+        a, b = out["arms"].get(str(s)), out["arms"].get(f"{s}_syncadmit")
+        if a and b:
+            a["admission_async_speedup"] = round(a["tok_per_s"] / b["tok_per_s"], 3)
+    line = json.dumps(out)
+    if OUT_JSON:
+        with open(OUT_JSON, "w") as f:
+            f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -169,6 +169,31 @@ def test_processor_pipeline(checkpoint, tmp_path):
     assert vid.shape[1:] == (3, 56, 56)
 
 
+def test_model_init_device_preprocess(checkpoint):
+    """model_init(device_preprocess=True) swaps the video processor for the
+    on-chip pad+resize+normalize (ops/preprocess.py): same pixels as the host
+    path within PIL's 8.8 fixed-point noise, and mm_infer runs end to end on
+    raw uint8 frames."""
+    from hicom_tpu.api import mm_infer, model_init
+    from hicom_tpu.ops.preprocess import DeviceSiglipPreprocessor
+
+    model, proc_host, tokenizer = model_init(checkpoint, dtype="float32", cache_len=256)
+    model_d, proc_dev, _ = model_init(checkpoint, dtype="float32", cache_len=256,
+                                      device_preprocess=True)
+    assert isinstance(proc_dev["video"].keywords["processor"], DeviceSiglipPreprocessor)
+
+    frames = np.random.default_rng(3).integers(0, 255, (4, 40, 64, 3), dtype=np.uint8)
+    host_px = np.asarray(proc_host["video"](frames))
+    dev_px = np.asarray(proc_dev["video"](frames))
+    assert dev_px.shape == host_px.shape
+    assert np.abs(dev_px - host_px).max() <= 2.1 / 255 / 0.5
+
+    gids = np.random.default_rng(4).integers(1, TXT["vocab_size"], (1, 16))
+    out = mm_infer(proc_dev["video"](frames), "what is in the video ?", model_d,
+                   tokenizer, modal="video", guide_ids=gids, max_new_tokens=4)
+    assert isinstance(out, str)
+
+
 def test_mm_infer_batch_matches_single(checkpoint):
     from hicom_tpu.api import mm_infer, mm_infer_batch, model_init
 

@@ -130,3 +130,21 @@ def test_oversized_prompt_rejected(setup):
         eng.submit(_text_request(cfg, seed=0, L=20))
     with pytest.raises(ValueError):
         eng.submit(_text_request(cfg, seed=0, L=8, max_new=100))
+
+
+def test_sync_admission_arm_matches_async(setup):
+    """The serve_bench A/B arm (sync_admission=True re-introduces the host
+    fetch per admission) is timing-only: token streams are identical."""
+    cfg, model, variables = setup
+    reqs = [_video_request(cfg, seed=1, L=10), _text_request(cfg, seed=2, L=7),
+            _text_request(cfg, seed=4, L=5)]
+    outs = {}
+    for sync_adm in (False, True):
+        eng = ServeEngine(model, variables, n_slots=2, cache_len=128,
+                          prompt_buckets=(12, 16), sync_steps=3,
+                          eos_token_id=cfg.text_config.eos_token_id,
+                          sync_admission=sync_adm)
+        ids = [eng.submit(r) for r in reqs]
+        res = eng.run()
+        outs[sync_adm] = [res[rid].tokens.tolist() for rid in ids]
+    assert outs[False] == outs[True]
