@@ -55,17 +55,21 @@ def write_realistic_mp4(path: str, seconds: float = 10.0, size=(640, 360),
     vw.release()
 
 
-def time_ingest(paths, frames: int, label: str):
+def time_ingest(paths, frames: int, label: str, raw: bool = False):
+    """``raw=True`` times decode-only (``processor=None`` → uint8 stack):
+    the host floor that remains under device preprocessing
+    (ops/preprocess.py moves pad+resize+normalize onto the chip)."""
     from hicom_tpu.data.processor import SiglipImagePreprocessor
     from hicom_tpu.data.video import process_video
 
-    proc = SiglipImagePreprocessor(size=(384, 384))
+    proc = None if raw else SiglipImagePreprocessor(size=(384, 384))
     # warm one video (library load, first-use setup) untimed
     process_video(paths[0], processor=proc, num_frames=frames)
     t0 = time.perf_counter()
     for p in paths:
         out = process_video(p, processor=proc, num_frames=frames)
-        assert out.shape == (frames, 3, 384, 384), out.shape
+        expect = (frames,) if raw else (frames, 3, 384, 384)
+        assert out.shape[: len(expect)] == expect, out.shape
     dt = time.perf_counter() - t0
     fps = len(paths) * frames / dt
     print(f"{label}: {fps:.1f} model frames/s "
@@ -99,12 +103,20 @@ def main():
     if native_video_available():
         os.environ.pop("HICOM_NATIVE_VIDEO", None)
         out["native"] = time_ingest(paths, args.frames, "native libav reader")
+        out["native_raw"] = time_ingest(paths, args.frames,
+                                        "native decode-only (device preprocess)",
+                                        raw=True)
     os.environ["HICOM_NATIVE_VIDEO"] = "0"
     out["cv2_fallback"] = time_ingest(paths, args.frames, "cv2 fallback")
+    out["cv2_raw"] = time_ingest(paths, args.frames,
+                                 "cv2 decode-only (device preprocess)", raw=True)
     os.environ.pop("HICOM_NATIVE_VIDEO", None)
 
-    # chip-side context: BENCH headline needs >= this to not be ingest-capped
-    best = out.get("native", out["cv2_fallback"])["frames_per_sec"]
+    # chip-side context: BENCH headline needs >= this to not be ingest-capped.
+    # With device preprocessing (the serving default for from-disk), the host
+    # cost is decode-only (the *_raw rows).
+    best = max(v["frames_per_sec"] for k, v in out.items()
+               if isinstance(v, dict) and "frames_per_sec" in v)
     out["keeps_pace_with_chip_at"] = best
     print(json.dumps(out))
 
