@@ -32,7 +32,7 @@ import numpy as np
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache.json")
 
 
-def tpu_alive(timeout_s: "int | None" = None) -> bool:
+def tpu_alive(timeout_s: "int | None" = None, attempts: "int | None" = None) -> bool:
     """The axon relay can die (remote_compile connection refused); probe in a
     subprocess so a wedged backend can't hang the benchmark driver.
 
@@ -51,7 +51,7 @@ def tpu_alive(timeout_s: "int | None" = None) -> bool:
 
     # retry with backoff: relay flaps are often transient (VERDICT r1 weak-1 —
     # a single 120s probe gave up and replayed a stale cache)
-    delays = (0, 30, 60)
+    delays = (0, 30, 60)[: attempts or 3]
     for i, delay in enumerate(delays):
         if delay:
             time.sleep(delay)
@@ -166,7 +166,9 @@ def main():
                  "int8 weight-only (not differentiable) — 7B training is the "
                  "QLoRA path (train/cli.py --bits 4/8), bench it at 1.5b")
 
-    alive = tpu_alive()
+    # --small is a sanity mode: one short probe decides TPU-vs-CPU fast
+    # instead of the full 3-attempt backoff (~7 min against a dead relay)
+    alive = tpu_alive(timeout_s=90, attempts=1) if args.small else tpu_alive()
     if not args.small and not alive:
         _cached_fallback("TPU relay unreachable; last successful run")
         return
@@ -316,11 +318,20 @@ def _run_train(args, flags):
     from hicom_tpu.train.train_step import TrainState, make_train_step
 
     parts = "mm_projector,language_model"
-    cfg = serving_config(args.model, frames=args.frames, remat=True)
+    if args.small:  # CPU sanity of the mode itself, not a measurement
+        from hicom_tpu.config import tiny_test_config
+
+        cfg = tiny_test_config(use_guide="direct", dtype="float32")
+        import dataclasses as _dc
+
+        cfg = cfg.replace(text_config=_dc.replace(cfg.text_config, remat=True))
+        b, t, L = 2, 4, 16
+    else:
+        cfg = serving_config(args.model, frames=args.frames, remat=True)
+        b, t, L = args.batch, args.frames, 48
     model = HIComModel(config=cfg)
     rng = np.random.default_rng(0)
     img = cfg.vision_config.image_size
-    b, t, L = args.batch, args.frames, 48
     ids = rng.integers(5, cfg.text_config.vocab_size, (b, L))
     ids[:, 2] = VIDEO_TOKEN_INDEX
     labels = np.array(ids)
@@ -344,8 +355,10 @@ def _run_train(args, flags):
     opt_state = jax.jit(optimizer.init)(params)
     state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
 
-    health = relay_health()
-    print(f"relay_health: {health}", file=sys.stderr)
+    health = None
+    if not args.small:
+        health = relay_health()
+        print(f"relay_health: {health}", file=sys.stderr)
 
     step = jax.jit(
         make_train_step(model, optimizer, tunable_parts=parts, use_guide=cfg.use_guide),
@@ -373,7 +386,7 @@ def _run_train(args, flags):
     tokens = v.num_patches
     vis_params = v.num_hidden_layers * (4 * v.hidden_size**2 + 2 * v.hidden_size * v.intermediate_size)
     vis = 2 * vis_params * tokens * (b * t) + v.num_hidden_layers * (b * t) * 4 * tokens**2 * v.hidden_size
-    Vtok = 680
+    Vtok = 680 if not args.small else 36
     S = L - 1 + Vtok
     dec_params = tc.num_hidden_layers * (
         tc.hidden_size * tc.head_dim * (tc.num_attention_heads + 2 * tc.num_key_value_heads)
@@ -397,7 +410,7 @@ def _run_train(args, flags):
             "mfu_pct": round(100 * achieved_tflops / ceiling, 1),
             "group_ms": [round(g * 1e3, 1) for g in group_dts],
             "tunable_parts": parts, "remat": True,
-            "config": "so400m+qwen2.5-7B-int8" if args.model == "7b" else "so400m+qwen2.5-1.5B",
+            "config": "tiny" if args.small else "so400m+qwen2.5-1.5B",
             "baseline_model": "analytic A100 bf16 roofline @45% MFU, same step (BASELINE.md §baseline-derivation)",
             "relay_health": health,
             **({"fallback_flags": flags} if flags else {}),
@@ -432,8 +445,10 @@ def _run_decode(args, flags):
         lambda r: model.init(r, ids, fr, guide_ids=gids, modal="video")["params"],
         jax.random.PRNGKey(0))
     params = random_params_like(shapes)
-    health = relay_health()
-    print(f"relay_health: {health}", file=sys.stderr)
+    health = None
+    if not args.small:
+        health = relay_health()
+        print(f"relay_health: {health}", file=sys.stderr)
 
     def step(params, emb, cache, pos):
         def run(m):
@@ -659,8 +674,10 @@ def _run_from_disk(args, flags):
     print(f"ingest-only ({'raw' if device_pre else 'host-preprocess'}): "
           f"{ingest_fps:.1f} frames/s", file=sys.stderr)
 
-    health = relay_health()
-    print(f"relay_health: {health}", file=sys.stderr)
+    health = None
+    if not args.small:
+        health = relay_health()
+        print(f"relay_health: {health}", file=sys.stderr)
     _warm_arm(fn, inputs, args.sync_every)
 
     # upload-only probe: time H2D of one batch (tunnel artifact on this relay)
