@@ -742,34 +742,35 @@ def _run(args, flags):
     if dual:
         arms["bf16"] = ("none", fp_dec)
 
-    built = {}
-    for name, (tq, dq) in arms.items():
-        built[name] = _make_arm(args, tq, dq)
-
     health = None
     if not args.small:
         health = relay_health()
         print(f"relay_health: {health}", file=sys.stderr)
 
-    for name in built:
-        fn, inputs, _, _, _ = built[name]
-        _warm_arm(fn, inputs, args.sync_every)
-
     # Per-group times are kept so transient co-tenant stalls are visible: the
     # chip intermittently runs this program class at ~0.4x while the pure
     # matmul health chain stays green (observed 144 vs 60 f/s, same flags) —
     # the headline is the MEDIAN group (robust to one stalled group);
-    # detail keeps the mean, best, and raw per-group times. With two arms the
-    # groups are INTERLEAVED round-robin so both see the same window.
-    groups = {name: [] for name in built}
-    n_rounds = max(1, args.iters // args.sync_every)
-    per_round = args.sync_every
-    for _ in range(n_rounds):
-        for name in built:
-            fn, inputs, _, _, _ = built[name]
-            groups[name].extend(_time_groups(fn, inputs, per_round, args.sync_every))
-
-    _, _, cfg, b, t = built["headline"]
+    # detail keeps the mean, best, and raw per-group times.
+    #
+    # Arms run SEQUENTIALLY back-to-back, each freed before the next builds:
+    # two full arms resident together OOM the 16GB chip at the 1.5B shape
+    # (measured: RESOURCE_EXHAUSTED at every flag level, 2026-08-19). The
+    # timed sections are seconds apart in one window; each arm's JSON keeps a
+    # relay_health stamp taken right before its timing so drift is visible.
+    groups, arm_health = {}, {}
+    cfg = b = t = None
+    for name, (tq, dq) in arms.items():
+        fn, inputs, acfg, ab, at = _make_arm(args, tq, dq)
+        if name == "headline":
+            cfg, b, t = acfg, ab, at
+        _warm_arm(fn, inputs, args.sync_every)
+        if not args.small:
+            arm_health[name] = relay_health()
+            print(f"relay_health[{name}]: {arm_health[name]}", file=sys.stderr)
+        groups[name] = _time_groups(fn, inputs, args.iters, args.sync_every)
+        del fn, inputs  # free this arm's params/buffers before the next builds
+        jax.clear_caches()
     L = 48  # prompt ids per video (see _make_arm)
     group_dts = groups["headline"]
     mean_dt = sum(group_dts) / len(group_dts)
@@ -818,13 +819,15 @@ def _run(args, flags):
         bdt = sorted(bdts)[len(bdts) // 2]
         bf16_fps = b * t / bdt
         bf16_detail = {
-            # the SAME computation at fp-reference numerics, measured in the
-            # same window (interleaved groups): the honest "matched numerics"
-            # comparison the quantized headline rides on (BASELINE.md §origin)
+            # the SAME computation at fp-reference numerics, measured
+            # back-to-back in the same window (own relay_health stamp): the
+            # honest "matched numerics" comparison the quantized headline
+            # rides on (BASELINE.md §baseline-derivation)
             "bf16_frames_per_sec": round(bf16_fps, 2),
             "vs_baseline_bf16": round(bf16_fps / a100_frames_per_sec, 3),
             "bf16_mfu_pct": round(100 * (flops / bdt / 1e12) / ceiling, 1),
             "bf16_group_ms": [round(g * 1e3, 1) for g in bdts],
+            "bf16_relay_health": arm_health.get("bf16"),
             "quant_speedup_vs_bf16": round(frames_per_sec / bf16_fps, 3),
         }
     elif (args.tower_quant, args.dec_quant) == ("none", fp_dec):
@@ -853,7 +856,7 @@ def _run(args, flags):
                 + (f"-tower:{args.tower_quant}" if args.tower_quant != "none" else "")
                 + (f"-dec:{args.dec_quant}" if args.dec_quant != "none" else "")),
             "baseline_model": "analytic A100 bf16 roofline @45% MFU, same computation (derivation: BASELINE.md §baseline-derivation)",
-            **({"relay_health": health} if health else {}),
+            **({"relay_health": arm_health.get("headline") or health} if health else {}),
             **({"fallback_flags": flags} if flags else {}),
         },
     }
