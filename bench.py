@@ -761,16 +761,22 @@ def _run(args, flags):
     groups, arm_health = {}, {}
     cfg = b = t = None
     for name, (tq, dq) in arms.items():
+        print(f"arm[{name}]: build ({tq}/{dq})", file=sys.stderr, flush=True)
         fn, inputs, acfg, ab, at = _make_arm(args, tq, dq)
         if name == "headline":
             cfg, b, t = acfg, ab, at
+        print(f"arm[{name}]: warm/compile", file=sys.stderr, flush=True)
         _warm_arm(fn, inputs, args.sync_every)
         if not args.small:
             arm_health[name] = relay_health()
-            print(f"relay_health[{name}]: {arm_health[name]}", file=sys.stderr)
+            print(f"relay_health[{name}]: {arm_health[name]}", file=sys.stderr,
+                  flush=True)
         groups[name] = _time_groups(fn, inputs, args.iters, args.sync_every)
-        del fn, inputs  # free this arm's params/buffers before the next builds
-        jax.clear_caches()
+        print(f"arm[{name}]: groups {[round(g * 1e3) for g in groups[name]]} ms",
+              file=sys.stderr, flush=True)
+        # free this arm's params/buffers before the next arm builds (two full
+        # arms resident OOM the chip); compiled fns may stay cached
+        del fn, inputs
     L = 48  # prompt ids per video (see _make_arm)
     group_dts = groups["headline"]
     mean_dt = sum(group_dts) / len(group_dts)

@@ -94,6 +94,7 @@ class ServeEngine:
         pad_token_id: int = 0,
         seed: int = 0,
         sync_admission: bool = False,
+        mesh: Any = None,
     ):
         self.model = model
         self.variables = variables
@@ -123,6 +124,9 @@ class ServeEngine:
         self._pos = jnp.zeros((n_slots,), jnp.int32)
         self._done = jnp.ones((n_slots,), bool)  # empty slots are "done"
         self._rng = jax.random.PRNGKey(seed)
+        self.mesh = mesh
+        if mesh is not None:
+            self._shard_to_mesh(mesh, tc)
 
         self._slots = [_Slot() for _ in range(n_slots)]
         self._queue: deque = deque()
@@ -133,6 +137,38 @@ class ServeEngine:
         # slots admitted this round whose first token hasn't been fetched yet:
         # [(slot_idx, first_token_array, budget)] — resolved at the round sync
         self._pending_first: List[Tuple[int, Any, int]] = []
+
+    def _shard_to_mesh(self, mesh, tc) -> None:
+        """Tensor-parallel serving: decoder/tower weights sharded by the
+        standard tp rules (parallel/sharding.py — qkv/up column-, o/down
+        row-parallel) and the engine KV cache sharded over its kv-heads axis,
+        so every decode round and prefill runs as ONE pjit program across the
+        mesh with XLA-inserted collectives riding ICI. The slot state stays
+        replicated (it is bytes). Bigger-than-one-chip models serve from the
+        same engine unchanged — the reference has no multi-GPU serving at all
+        (one process per GPU, SURVEY §3.4)."""
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from .parallel.sharding import param_shardings
+
+        tp = mesh.shape.get("tp", 1)
+        ns = lambda spec: NamedSharding(mesh, spec)  # noqa: E731
+        self.variables = {
+            **self.variables,
+            "params": jax.device_put(
+                self.variables["params"],
+                param_shardings(self.variables["params"], mesh)),
+        }
+        head_axis = "tp" if tp > 1 and tc.num_key_value_heads % tp == 0 else None
+        self._cache_specs = KVCache(
+            P(None, None, head_axis), P(None, None, head_axis), P(), P(),
+            None if self.cache.k_scale is None else P(None, None, head_axis),
+            None if self.cache.v_scale is None else P(None, None, head_axis))
+        self.cache = jax.tree.map(
+            lambda x, s: jax.device_put(x, ns(s)), self.cache, self._cache_specs)
+        self._cur, self._pos, self._done = (
+            jax.device_put(x, ns(P())) for x in (self._cur, self._pos, self._done))
 
     # ------------------------------------------------------------- scheduling
 

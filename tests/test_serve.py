@@ -148,3 +148,23 @@ def test_sync_admission_arm_matches_async(setup):
         res = eng.run()
         outs[sync_adm] = [res[rid].tokens.tolist() for rid in ids]
     assert outs[False] == outs[True]
+
+
+def test_mesh_tp_serving_matches_single_device(setup):
+    """ServeEngine(mesh=...) — tensor-parallel serving: decoder weights
+    sharded by the tp rules, the KV cache sharded over kv-heads — produces
+    exactly the single-device token streams (greedy)."""
+    from hicom_tpu.parallel.mesh import create_mesh
+
+    cfg, model, variables = setup
+    mesh = create_mesh(dp=1, tp=2, devices=jax.devices()[:2])
+    reqs = [_video_request(cfg, seed=1, L=10), _text_request(cfg, seed=2, L=7),
+            _video_request(cfg, seed=3, L=12), _text_request(cfg, seed=4, L=5)]
+    eng = ServeEngine(model, variables, n_slots=2, cache_len=128,
+                      prompt_buckets=(12, 16), sync_steps=3,
+                      eos_token_id=cfg.text_config.eos_token_id, mesh=mesh)
+    ids = [eng.submit(r) for r in reqs]
+    results = eng.run()
+    for rid, req in zip(ids, reqs):
+        ref = _reference_tokens(cfg, model, variables, req)
+        assert results[rid].tokens.tolist() == ref, (rid, results[rid].tokens, ref)
