@@ -151,6 +151,11 @@ def main():
                          "(stage-2 freeze matrix, remat + flash fwd/bwd): "
                          "step ms, target tokens/s, achieved TFLOP/s + MFU")
     ap.add_argument("--kv-int8", action="store_true", help="decode mode: int8 KV cache")
+    ap.add_argument("--train-parts", default="mm_projector",
+                    help="train mode: mm_tunable_parts freeze matrix. Default "
+                         "is the reference's stage-1 projector pretrain — the "
+                         "largest stage one 16GB chip holds at 1.5B (full-SFT "
+                         "Adam OOMs; that scale is the multi-chip fsdp path)")
     ap.add_argument("--from-disk", action="store_true",
                     help="e2e including HOST INGEST: decode+preprocess real "
                          "mp4s from disk (native reader) while the chip "
@@ -298,17 +303,23 @@ def calibrate_static_tower(model, cfg, params, frames, gids, tower_quant):
 
 
 def _run_train(args, flags):
-    """Training-step throughput at the serving shape (VERDICT r2 next-4):
-    so400m tower (frozen, fwd-only via stop_gradient pruning) + trainable
-    projector + decoder, remat + flash fwd/bwd, stage-2 freeze matrix
-    (reference ``directg_local43_global32.sh:95-139``), grad-accum 1.
+    """Training-step throughput ON ONE CHIP (VERDICT r2 next-4): so400m
+    tower + projector + decoder with remat + flash fwd/bwd, grad-accum 1.
+
+    Default ``--train-parts mm_projector`` is the reference's STAGE-1
+    projector pretrain (``scripts/pretrain*.sh``): tower and LM frozen
+    (stop_gradient prunes both backwards at trace time), projector trains.
+    That is the largest reference training stage a single 16GB chip can hold
+    for the 1.5B shape: full-SFT Adam (stage 2, ``--train-parts
+    mm_projector,language_model``) peaks at params(10.6GB fp32) +
+    grads(9.5GB) + moments(14.3GB) at the update — measured
+    RESOURCE_EXHAUSTED at b=4 AND b=2, and host-offloading the moments only
+    moves the peak to the update's transient copy. Stage-2 scale is the
+    multi-chip fsdp path (dryrun_multichip); the reference itself trains on
+    8x80GB A100s.
 
     ``vs_baseline`` = measured step rate over the analytic A100 model of the
-    same step (bf16 roofline @45% MFU — BASELINE.md §baseline-derivation).
-    NOTE: Adam moments here are bf16 (optax inherits the param dtype); the
-    reference trains fp32 moments under ZeRO — the matmul FLOPs measured are
-    identical, only the (bandwidth-bound) update differs.
-    """
+    same step (bf16 roofline @45% MFU — BASELINE.md §baseline-derivation)."""
     import jax
     import jax.numpy as jnp
 
@@ -317,7 +328,7 @@ def _run_train(args, flags):
     from hicom_tpu.train.optimizer import build_optimizer
     from hicom_tpu.train.train_step import TrainState, make_train_step
 
-    parts = "mm_projector,language_model"
+    parts = args.train_parts
     if args.small:  # CPU sanity of the mode itself, not a measurement
         from hicom_tpu.config import tiny_test_config
 
@@ -380,8 +391,14 @@ def _run_train(args, flags):
         group_dts.append((time.perf_counter() - g0) / n_in_group)
     dt = sorted(group_dts)[len(group_dts) // 2]
 
-    # FLOPs: frozen tower forward ONCE (stop_gradient prunes its backward);
-    # trainable projector/decoder ≈ 3x forward (fwd + 2x bwd); lm_head 3x.
+    # FLOPs per freeze matrix (optimizer.is_tunable): the tower is the graph
+    # ROOT, so frozen tower = forward only (1x; stop_gradient prunes its
+    # backward entirely). The decoder+head sit DOWNSTREAM of the trainable
+    # projector, so even frozen they pay the activation-backward pass
+    # (dL/dx ≈ 1x forward) to carry gradients back to the spliced visual
+    # tokens — 2x when frozen, 3x (fwd + dL/dx + dL/dW) when trainable.
+    vis_mult = 3 if "pure_vision_model" in parts else 1
+    lm_mult = 3 if "language_model" in parts else 2
     v, tc = cfg.vision_config, cfg.text_config
     tokens = v.num_patches
     vis_params = v.num_hidden_layers * (4 * v.hidden_size**2 + 2 * v.hidden_size * v.intermediate_size)
@@ -394,7 +411,7 @@ def _run_train(args, flags):
         + 3 * tc.hidden_size * tc.intermediate_size)
     dec = 2 * dec_params * S * b + tc.num_hidden_layers * b * 2 * S**2 * tc.num_attention_heads * tc.head_dim
     head = 2 * tc.vocab_size * tc.hidden_size * S * b
-    flops = vis + 3 * (dec + head)  # remat recompute not counted (honest MFU)
+    flops = vis_mult * vis + lm_mult * (dec + head)  # remat recompute not counted (honest MFU)
     a100_sec = flops / (312e12 * 0.45)
     achieved_tflops = flops / dt / 1e12
     ceiling = max(131.0, (health or {}).get("tflops", 0.0))

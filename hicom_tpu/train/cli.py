@@ -372,7 +372,8 @@ def main(argv=None):
                                     has_frames=key[2], multi_image=key[1],
                                     anyres_plan=key[3],
                                     tunable_parts=args.mm_tunable_parts,
-                                    use_guide=args.use_guide),
+                                    use_guide=args.use_guide,
+                                    offload_optimizer=args.offload_optimizer),
                     **jit_kw)
             return step_fns[key]
 

@@ -79,14 +79,29 @@ def make_loss_fn(model, modal: str = "video", has_frames: bool = True, multi_ima
 
 def make_train_step(model, optimizer, modal: str = "video", has_frames: bool = True, multi_image: bool = False,
                     anyres_plan=None, tunable_parts: Optional[str] = None,
-                    use_guide: Optional[str] = None):
+                    use_guide: Optional[str] = None,
+                    offload_optimizer: bool = False):
+    """``offload_optimizer``: the optimizer state enters/leaves this step in
+    ``pinned_host`` memory (see create_sharded_state). XLA refuses to compute
+    directly on host-space operands ("memory_space of all inputs ... must be
+    the same" — observed on the real TPU backend), so the step must move the
+    moments explicitly: host→device right before the update, device→host for
+    the returned state. The moments are absent from HBM during the whole
+    fwd+bwd — the phase that owns the activation peak; the update phase pays
+    a transient device copy, so this helps exactly when activations (not the
+    param+moment sum) are the binding peak."""
     loss_fn = make_loss_fn(model, modal, has_frames, multi_image, anyres_plan,
                            tunable_parts, use_guide)
 
     def train_step(state: TrainState, batch):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        opt_in = state.opt_state
+        if offload_optimizer:
+            opt_in = jax.device_put(opt_in, jax.memory.Space.Device)
+        updates, opt_state = optimizer.update(grads, opt_in, state.params)
         params = optax.apply_updates(state.params, updates)
+        if offload_optimizer:
+            opt_state = jax.device_put(opt_state, jax.memory.Space.Host)
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
         return TrainState(params, opt_state, state.step + 1), metrics

@@ -52,8 +52,8 @@ def main():
         kinds = {getattr(s, "memory_kind", None)
                  for s in jax.tree.leaves(shardings.opt_state) if hasattr(s, "memory_kind")}
         print("opt-state memory kinds:", kinds)
-        step = jax.jit(make_train_step(model, optimizer), donate_argnums=0,
-                       out_shardings=(shardings, None))
+        step = jax.jit(make_train_step(model, optimizer, offload_optimizer=True),
+                       donate_argnums=0, out_shardings=(shardings, None))
         state, m1 = step(state, shard_batch_tree(batch, mesh))
         state, m2 = step(state, shard_batch_tree(batch, mesh))
         l1, l2 = float(m1["loss"]), float(m2["loss"])
