@@ -17,6 +17,10 @@ Run: HICOM_SKIP_PROBE=1 python scripts/serve_bench.py         (1.5b dims)
        sync-admission arms interleaved: quantifies the r3 dispatch-only
        _admit — the sync arm stalls every resident slot on a prefill +
        host round trip per admission, VERDICT r2 weak-6)
+     AB_ARRIVAL=drip ...  (one new request submitted after every decode
+       round instead of all upfront — admissions land while slots decode,
+       the realistic serving arrival shape and the worst case for sync
+       admission; default 'batch' submits everything before run())
 """
 import json
 import os
@@ -33,6 +37,7 @@ MAX_NEW = int(os.environ.get("AB_MAX_NEW", "64"))
 CACHE_LEN = int(os.environ.get("AB_CACHE_LEN", "1024"))
 SYNC_STEPS = int(os.environ.get("AB_SYNC", "16"))
 ADMIT_AB = os.environ.get("AB_ADMIT_AB", "") == "1"
+ARRIVAL = os.environ.get("AB_ARRIVAL", "batch")  # batch | drip
 OUT_JSON = os.environ.get("AB_OUT")  # also write the JSON artifact here
 
 import jax
@@ -50,6 +55,32 @@ def build(n_slots, cfg, model, params, sync_admission=False):
         prompt_buckets=(64,), sync_steps=SYNC_STEPS,
         eos_token_id=cfg.text_config.eos_token_id,
         sync_admission=sync_admission)
+
+
+def run_arm(eng, cfg, n_reqs):
+    """Time one arm. 'batch' submits everything then drains (the r2 shape);
+    'drip' submits the first n_slots, then ONE request after every decode
+    round — each admission lands while the other slots are mid-decode, so a
+    sync admission stalls the whole round on its host fetch."""
+    reqs = requests(cfg, n_reqs)
+    if ARRIVAL == "batch":
+        for r in reqs:
+            eng.submit(r)
+        t0 = time.perf_counter()
+        results = eng.run()
+        return results, time.perf_counter() - t0
+    head = min(eng.n_slots, n_reqs)
+    for r in reqs[:head]:
+        eng.submit(r)
+    i = head
+    t0 = time.perf_counter()
+    while i < n_reqs or eng._queue or any(s.request_id >= 0 for s in eng._slots):
+        eng.step_round()
+        if i < n_reqs:
+            eng.submit(reqs[i])
+            i += 1
+    dt = time.perf_counter() - t0
+    return eng.run(), dt  # drained: returns + clears accumulated results
 
 
 def requests(cfg, n):
@@ -108,13 +139,10 @@ def main():
         engines[name] = eng
 
     out = {"model": MODEL, "max_new": MAX_NEW, "n_reqs": N_REQS,
-           "sync_steps": SYNC_STEPS, "relay_health": health, "arms": {}}
+           "sync_steps": SYNC_STEPS, "arrival": ARRIVAL,
+           "relay_health": health, "arms": {}}
     for name, eng in engines.items():
-        for r in requests(cfg, N_REQS):
-            eng.submit(r)
-        t0 = time.perf_counter()
-        results = eng.run()
-        dt = time.perf_counter() - t0
+        results, dt = run_arm(eng, cfg, N_REQS)
         toks = sum(len(r.tokens) + 1 for r in results.values())  # + eos step
         out["arms"][name] = {
             "wall_s": round(dt, 2),
