@@ -220,22 +220,37 @@ MLVU_TASKS = {
 }
 
 
-def _prefetched(items, prepare):
-    """One-ahead prefetch: decode the next video on a worker thread while the
-    chip runs the current sample (the reference leans on torch DataLoader
-    workers; SURVEY §7 flags host decode as the bottleneck)."""
+def _prefetched(items, prepare, workers: Optional[int] = None):
+    """Bounded multi-worker prefetch: decode upcoming videos on worker threads
+    while the chip runs the current sample (the reference leans on 8 torch
+    DataLoader workers, ``inference_video_mcqa_videomme.py:325-326``; SURVEY §7
+    flags host decode as the bottleneck). The native libav reader and the C++
+    preprocessor release the GIL, so threads scale with host cores.
+
+    ``HICOM_PREFETCH_WORKERS`` overrides; the default is one worker per host
+    core (capped at 8) — on the 1-core dev host that degrades to the r2
+    one-ahead behavior. In-flight decodes are bounded at workers+1 so memory
+    stays ~(workers+1) decoded clips regardless of dataset size, and results
+    yield strictly in submission order."""
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     items = list(items)
     if not items:
         return
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        fut = pool.submit(prepare, items[0])
-        for nxt in items[1:]:
-            cur = fut.result()
-            fut = pool.submit(prepare, nxt)
+    if workers is None:
+        workers = int(os.environ.get("HICOM_PREFETCH_WORKERS", "0")) or min(
+            8, os.cpu_count() or 1)
+    depth = workers + 1
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        futs = deque(pool.submit(prepare, it) for it in items[:depth])
+        nxt = depth
+        while futs:
+            cur = futs.popleft().result()
+            if nxt < len(items):
+                futs.append(pool.submit(prepare, items[nxt]))
+                nxt += 1
             yield cur
-        yield fut.result()
 
 
 def run_mcqa(items, prepare, record, infer, infer_batch=None, batch_size: int = 1):

@@ -711,3 +711,34 @@ def test_mm_infer_prompt_ids_match_reference():
     theirs = ref.mm_utils.tokenizer_multimodal_token(prompt, tok, "<video>", return_tensors="pt").numpy()
     np.testing.assert_array_equal(ours, theirs)
     assert (ours == -201).sum() == 1  # one video sentinel at the head turn
+
+
+def test_prefetched_multiworker_order_and_bound():
+    """_prefetched with several workers yields strictly in order and never
+    holds more than workers+1 decoded items in flight (bounded memory)."""
+    import threading
+    import time as _time
+
+    from hicom_tpu.eval.benchmarks import _prefetched
+
+    in_flight = [0]
+    peak = [0]
+    lock = threading.Lock()
+
+    def prepare(i):
+        with lock:
+            in_flight[0] += 1
+            peak[0] = max(peak[0], in_flight[0])
+        _time.sleep(0.002 * (i % 3))  # jitter so completion order scrambles
+        with lock:
+            in_flight[0] -= 1
+        return i * 10
+
+    items = list(range(24))
+    out = list(_prefetched(items, prepare, workers=4))
+    assert out == [i * 10 for i in items]  # submission order, not completion
+    assert peak[0] <= 5  # workers+1 in-flight bound
+
+    # empty input and the 1-worker (dev-host default) degenerate case
+    assert list(_prefetched([], prepare)) == []
+    assert list(_prefetched([1, 2], prepare, workers=1)) == [10, 20]
