@@ -151,6 +151,7 @@ class HICom:
         top_p: float = 0.9,
         seed: int = 0,
         stop_sequences: tuple = (),
+        spec_decode: Optional[int] = None,
     ) -> np.ndarray:
         import jax
         import jax.numpy as jnp
@@ -158,6 +159,11 @@ class HICom:
         from .models.generate import generate_tokens
 
         temp = float(temperature) if do_sample else 0.0
+        # prompt-lookup speculative decoding (greedy b=1 only; generate_tokens
+        # self-gates): k drafts verified per decode step — opt-in, the chip
+        # A/B decides whether it becomes a serving default
+        if spec_decode is None:
+            spec_decode = int(os.environ.get("HICOM_SPEC_DECODE", "0"))
         has_frames = frames is not None or visual_embeds is not None
         if frames is not None:
             self._maybe_autocalibrate(frames, guide_ids, modal)
@@ -225,6 +231,7 @@ class HICom:
             cache_len=cache_len,
             has_frames=has_frames,
             stop_sequences=tuple(stop_sequences),
+            spec_k=int(spec_decode),
         )
         return np.asarray(out)
 

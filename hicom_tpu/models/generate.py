@@ -61,7 +61,7 @@ def keyword_token_sequences(keywords, tokenizer) -> tuple:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "modal", "max_new_tokens", "temperature", "top_p", "eos_token_id", "cache_len", "has_frames", "stop_sequences"),
+    static_argnames=("model", "modal", "max_new_tokens", "temperature", "top_p", "eos_token_id", "cache_len", "has_frames", "stop_sequences", "spec_k", "spec_ngram", "return_stats"),
 )
 def generate_tokens(
     variables,
@@ -82,8 +82,23 @@ def generate_tokens(
     cache_len: int = 4096,
     has_frames: bool = True,
     stop_sequences: tuple = (),
+    spec_k: int = 0,
+    spec_ngram: int = 3,
+    return_stats: bool = False,
 ) -> Array:
-    """Returns (b, max_new_tokens) generated ids, eos-padded after stop."""
+    """Returns (b, max_new_tokens) generated ids, eos-padded after stop
+    (with ``return_stats``: a ``(ids, decode_iterations)`` tuple — under
+    speculation, emitted tokens per iteration = the decode speedup factor,
+    since a verify step is weight-streaming-bound like a single-token step).
+
+    ``spec_k > 0`` enables prompt-lookup speculative decoding (greedy,
+    unpadded b=1 only — silently ignored otherwise): each loop iteration
+    drafts ``spec_k`` continuation tokens by matching the last ``spec_ngram``
+    generated tokens against the on-device token history (prompt +
+    generation), then verifies all drafts in ONE decoder step of
+    ``spec_k + 1`` positions. Decode at these scales is weight-streaming
+    bound, so a verify step costs ~one normal step; every accepted draft is
+    a free token. Greedy outputs are exactly those of ``spec_k=0``."""
 
     def run(m):
         cfg = m.config
@@ -112,15 +127,116 @@ def generate_tokens(
         true_len = jnp.sum(spliced.attention_mask.astype(jnp.int32), axis=1)  # (b,)
         last_idx = true_len - 1
         last_hidden = jnp.take_along_axis(hidden, last_idx[:, None, None], axis=1)  # (b, 1, D)
+        # speculative decode needs an unpadded single row (cache validity is
+        # recomputed as arange < length each verify step) and greedy sampling
+        spec = spec_k if (spec_k > 0 and temperature == 0.0 and b == 1
+                          and attention_mask is None) else 0
         return _sample_and_loop(m, cache, last_hidden, true_len, rng,
                                 max_new_tokens, temperature, top_p,
-                                eos_token_id, stop_sequences)
+                                eos_token_id, stop_sequences,
+                                spec_k=spec, spec_ngram=spec_ngram,
+                                prompt_ids=input_ids, return_stats=return_stats)
 
     return model.apply(variables, method=run)
 
 
+def _pld_draft(hist: Array, hist_len: Array, ngram: int, k: int) -> Array:
+    """Prompt-lookup draft: find the most recent position where the last
+    ``ngram`` tokens of ``hist[:hist_len]`` previously occurred and return the
+    ``k`` tokens that followed (zeros when there is no match — they simply
+    won't be accepted). O(|hist|·ngram) elementwise work: negligible next to
+    a decoder step."""
+    size = hist.shape[0]
+    tail = jax.lax.dynamic_slice(hist, (hist_len - ngram,), (ngram,))
+    ok = jnp.ones((size,), bool)
+    for j in range(ngram):
+        ok &= jnp.roll(hist, -j) == tail[j]  # hist[i+j] == tail[j]
+    # candidate window must end strictly before the tail occurrence itself
+    ok &= jnp.arange(size) < (hist_len - ngram)
+    best = jnp.max(jnp.where(ok, jnp.arange(size), -1))
+    start = jnp.clip(jnp.where(best >= 0, best + ngram, 0), 0, size - k)
+    return jax.lax.dynamic_slice(hist, (start,), (k,))
+
+
+def _spec_loop(m, cache, out, done, true_len, loop_rng, prompt_ids,
+               max_new_tokens, eos_token_id, stop_sequences, spec_k, spec_ngram):
+    """Greedy prompt-lookup speculative decode (b=1, unpadded). Per iteration:
+    ONE decoder step over ``spec_k + 1`` positions (current token + drafts)
+    written contiguously at the logical cache offset; the longest prefix of
+    drafts matching the step's own greedy argmaxes is accepted, emitting
+    ``accepted + 1`` tokens. Cache length/validity are recomputed each
+    iteration (arange < logical_len), so the unaccepted tail slots written by
+    a verify step are dropped and overwritten by the next one. Exact greedy
+    parity with the one-token loop by construction: every emitted token is an
+    argmax conditioned on exactly the accepted history."""
+    b, k1 = 1, spec_k + 1
+    cache_max = cache.valid.shape[1]
+    Lp = prompt_ids.shape[1]
+    # token history for the n-gram lookup: prompt ids (modal sentinels stay
+    # as-is — they never match generated text) + generated tokens
+    hist = jnp.zeros((Lp + max_new_tokens + k1,), jnp.int32)
+    hist = jax.lax.dynamic_update_slice(hist, prompt_ids[0].astype(jnp.int32), (0,))
+    # slack buffer: a verify step writes k1 candidates past `step`
+    buf = jnp.full((b, max_new_tokens + k1), eos_token_id, jnp.int32)
+    buf = jax.lax.dynamic_update_slice(buf, out[:, :1], (0, 0))
+
+    def cond(state):
+        step, _, _, _, done, _ = state
+        return (step < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        step, cache, buf, hist, done, it = state
+        cur = jax.lax.dynamic_slice(buf, (0, step - 1), (b, 1))[0]  # (1,)
+        # true_len counts the SPLICED prompt; hist holds the raw prompt ids
+        hist_len = Lp + step
+        draft = _pld_draft(hist, hist_len, spec_ngram, spec_k)
+        q_toks = jnp.concatenate([cur.astype(jnp.int32), draft.astype(jnp.int32)])
+        embeds = m.language_model.embed(q_toks[None])  # (1, k1, D)
+        positions = (true_len[0] + step - 1 + jnp.arange(k1))[None]
+        clen = true_len[0] + step - 1  # logical cache length (slots == rope
+        # positions: b=1 unpadded prompts have no pad slots)
+        cache_r = cache._replace(
+            length=jnp.full_like(cache.length, clen),
+            valid=jnp.arange(cache_max)[None, :] < clen,
+        )
+        hidden, cache_r = m.language_model.model(embeds, positions, cache_r)
+        g = jnp.argmax(
+            m.language_model.logits(hidden).astype(jnp.float32)[0], axis=-1
+        ).astype(jnp.int32)  # (k1,) greedy next-token at each position
+        accepted = jnp.cumprod((draft == g[:spec_k]).astype(jnp.int32))
+        emit = jnp.concatenate([jnp.ones((1,), bool), accepted.astype(bool)])
+        buf = jax.lax.dynamic_update_slice(buf, g[None], (0, step))
+        # stopping: eos or keyword-tail hit at an emitted position ends the
+        # emission AT that token (it is still emitted, like the plain loop)
+        stop_vec = g == eos_token_id
+        for seq in stop_sequences:
+            ks = len(seq)
+            kw = jnp.asarray(seq, jnp.int32)
+            for i in range(k1):
+                tail = jax.lax.dynamic_slice(buf, (0, step + i - (ks - 1)), (b, ks))[0]
+                stop_vec = stop_vec.at[i].set(
+                    stop_vec[i] | (jnp.all(tail == kw) & (step + i + 1 >= ks)))
+        stops = stop_vec & emit
+        before_stop = jnp.cumsum(
+            jnp.concatenate([jnp.zeros((1,), jnp.int32), stops.astype(jnp.int32)[:-1]])) == 0
+        keep = emit & before_stop
+        n_emit = jnp.sum(keep.astype(jnp.int32))
+        hist = jax.lax.dynamic_update_slice(hist, g, (hist_len,))
+        done = done | jnp.any(stops & keep)[None]
+        return step + n_emit, cache_r, buf, hist, done, it + 1
+
+    state = (jnp.int32(1), cache, buf, hist, done, jnp.int32(0))
+    step, _, buf, _, _, it = jax.lax.while_loop(cond, body, state)
+    # trim: candidates written past the final emission count revert to eos
+    out = buf[:, :max_new_tokens]
+    out = jnp.where(jnp.arange(max_new_tokens)[None, :] < step, out, eos_token_id)
+    return out, it
+
+
 def _sample_and_loop(m, cache, last_hidden, true_len, rng, max_new_tokens,
-                     temperature, top_p, eos_token_id, stop_sequences):
+                     temperature, top_p, eos_token_id, stop_sequences,
+                     spec_k: int = 0, spec_ngram: int = 3, prompt_ids=None,
+                     return_stats: bool = False):
     """Shared tail of generation: sample the first token from the prefill's
     last hidden state, then run the jitted decode while_loop. Used by both
     :func:`generate_tokens` and :func:`decode_tokens` (the ring-prefill path)."""
@@ -138,6 +254,12 @@ def _sample_and_loop(m, cache, last_hidden, true_len, rng, max_new_tokens,
     for seq in stop_sequences:  # single-token keywords can stop at step 0
         if len(seq) == 1:
             done = done | (first_tok == seq[0])
+
+    if spec_k > 0:
+        out, iters = _spec_loop(m, cache, out, done, true_len, loop_rng,
+                                prompt_ids, max_new_tokens, eos_token_id,
+                                stop_sequences, spec_k, spec_ngram)
+        return (out, iters) if return_stats else out
 
     def cond(state):
         step, _, _, done, _ = state
@@ -166,8 +288,8 @@ def _sample_and_loop(m, cache, last_hidden, true_len, rng, max_new_tokens,
         return step + 1, cache, out, done, rng
 
     state = (jnp.int32(1), cache, out, done, loop_rng)
-    _, _, out, _, _ = jax.lax.while_loop(cond, body, state)
-    return out
+    step, _, out, _, _ = jax.lax.while_loop(cond, body, state)
+    return (out, step - 1) if return_stats else out
 
 
 @functools.partial(

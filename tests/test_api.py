@@ -391,3 +391,20 @@ def test_load_w8a8s_tower_and_calibrate(checkpoint):
     out = mm_infer(video[0], "what is in the video ?", hc, tokenizer,
                    modal="video", guide_ids=gids, max_new_tokens=4)
     assert isinstance(out, str)
+
+
+def test_mm_infer_spec_decode_parity(checkpoint, monkeypatch):
+    """HICOM_SPEC_DECODE routes mm_infer through the speculative loop with
+    identical greedy output text."""
+    from hicom_tpu.api import mm_infer, model_init
+
+    model, processor, tokenizer = model_init(checkpoint, dtype="float32", cache_len=256)
+    rng = np.random.default_rng(5)
+    video = rng.standard_normal((4, 3, 56, 56)).astype(np.float32)
+    guide_ids = rng.integers(1, TXT["vocab_size"], (1, 16))
+    base = mm_infer(video, "describe the video .", model, tokenizer,
+                    modal="video", guide_ids=guide_ids, max_new_tokens=12)
+    monkeypatch.setenv("HICOM_SPEC_DECODE", "4")
+    spec = mm_infer(video, "describe the video .", model, tokenizer,
+                    modal="video", guide_ids=guide_ids, max_new_tokens=12)
+    assert spec == base
