@@ -176,6 +176,7 @@ def _spec_loop(m, cache, out, done, true_len, loop_rng, prompt_ids,
     # as-is — they never match generated text) + generated tokens
     hist = jnp.zeros((Lp + max_new_tokens + k1,), jnp.int32)
     hist = jax.lax.dynamic_update_slice(hist, prompt_ids[0].astype(jnp.int32), (0,))
+    hist = jax.lax.dynamic_update_slice(hist, out[0, :1], (Lp,))  # first token
     # slack buffer: a verify step writes k1 candidates past `step`
     buf = jnp.full((b, max_new_tokens + k1), eos_token_id, jnp.int32)
     buf = jax.lax.dynamic_update_slice(buf, out[:, :1], (0, 0))
