@@ -321,9 +321,10 @@ class DecoderAttention(nn.Module):
             S = ck.shape[2]
             if per_slot:
                 # continuous-batching decode: each row is an independent
-                # serving slot with its own write offset (serve.py engine);
-                # one-token steps only.
-                assert L == 1, "per_slot decode requires single-token steps"
+                # serving slot with its own write offset (serve.py engine).
+                # L == 1 is the plain decode step; L > 1 is a speculative
+                # verify chunk (serve.py spec_k): the row's L candidate
+                # tokens are written contiguously at its own offset.
                 row_upd3 = jax.vmap(lambda c, off, new: jax.lax.dynamic_update_slice(c, new, (0, off, 0)))
                 row_upd2 = jax.vmap(lambda c, off, new: jax.lax.dynamic_update_slice(c, new, (0, off)))
                 if cache_scales is not None:
@@ -393,7 +394,14 @@ class DecoderAttention(nn.Module):
                     out = make_dense(self.quantized, self.hidden_size, False, self.dtype, "o_proj")(out)
                     return out, new_cache_kv, new_cache_scales
                 if per_slot:
-                    mask = cache_valid[:, None, None, :]
+                    # causal over slots within the row's chunk: q position i
+                    # may attend slots <= offset + i. For L == 1 this also
+                    # shields the row from any stale-valid slots beyond its
+                    # own offset (speculative rounds leave unaccepted
+                    # candidate slots marked valid until overwritten).
+                    kv_slot = jnp.arange(S)[None, None, None, :]
+                    q_slot = (cache_length[:, None] + jnp.arange(L)[None, :])[:, None, :, None]
+                    mask = cache_valid[:, None, None, :] & (kv_slot <= q_slot)
                 else:
                     kv_slot = jnp.arange(S)[None, None, None, :]  # (1, 1, 1, S)
                     q_slot = (cache_length[0] + jnp.arange(L))[None, None, :, None]
@@ -566,9 +574,9 @@ class Qwen2Model(nn.Module):
         if cache is not None:
             if per_slot:
                 # independent serving slots (serve.py): mark each row's own
-                # write offset valid (single-token steps)
-                assert L == 1, "per_slot decode requires single-token steps"
-                cache_valid = cache.valid.at[jnp.arange(b), cache.length].set(True)
+                # L written slots valid (L > 1 = speculative verify chunk)
+                offs = cache.length[:, None] + jnp.arange(L)[None, :]
+                cache_valid = cache.valid.at[jnp.arange(b)[:, None], offs].set(True)
             else:
                 step_valid = padding_mask.astype(bool) if padding_mask is not None else jnp.ones((b, L), bool)
                 cache_valid = jax.lax.dynamic_update_slice(cache.valid, step_valid, (0, cache.length[0]))

@@ -95,6 +95,8 @@ class ServeEngine:
         seed: int = 0,
         sync_admission: bool = False,
         mesh: Any = None,
+        spec_k: int = 0,
+        spec_ngram: int = 3,
     ):
         self.model = model
         self.variables = variables
@@ -107,6 +109,16 @@ class ServeEngine:
         self.top_p = top_p
         self.eos_token_id = eos_token_id
         self.pad_token_id = pad_token_id
+        # prompt-lookup speculative serving: every decode iteration verifies
+        # spec_k per-slot drafts in one (spec_k+1)-token per_slot step —
+        # decode rounds are weight-streaming-bound, so accepted drafts are
+        # nearly free tokens for EVERY resident slot. Greedy only (drafts are
+        # accepted against argmax).
+        self.spec_k = int(spec_k)
+        self.spec_ngram = int(spec_ngram)
+        if self.spec_k > 0 and temperature != 0.0:
+            raise ValueError("speculative serving (spec_k > 0) requires greedy "
+                             "decoding (temperature == 0)")
         # A/B arm for scripts/serve_bench.py AB_STAGGER: re-introduce the
         # pre-r3 host fetch per admission, stalling resident slots on the
         # prefill + D2H round trip (VERDICT r2 weak-6). Never set in production.
@@ -123,6 +135,11 @@ class ServeEngine:
         self._cur = jnp.full((n_slots,), eos_token_id, jnp.int32)
         self._pos = jnp.zeros((n_slots,), jnp.int32)
         self._done = jnp.ones((n_slots,), bool)  # empty slots are "done"
+        if self.spec_k > 0:
+            # per-slot token history (raw prompt ids + generated) feeding the
+            # on-device n-gram draft lookup; slack absorbs a final chunk
+            self._hist = jnp.zeros((n_slots, cache_len + self.spec_k + 1), jnp.int32)
+            self._hist_len = jnp.zeros((n_slots,), jnp.int32)
         self._rng = jax.random.PRNGKey(seed)
         self.mesh = mesh
         if mesh is not None:
@@ -178,10 +195,14 @@ class ServeEngine:
         if bucket is None:
             raise ValueError(f"prompt length {L} exceeds the largest bucket "
                              f"{self.prompt_buckets[-1]}")
-        if bucket + request.max_new_tokens > self.cache_len:
+        # a round can overshoot a budget/eos stop by up to one full round of
+        # writes before the host freezes the slot (sync_steps iterations ×
+        # (spec_k + 1) slots each) — those slots must exist in the cache
+        overshoot = self.sync_steps * (self.spec_k + 1) - 1
+        if bucket + request.max_new_tokens + overshoot > self.cache_len:
             raise ValueError(
                 f"bucket {bucket} + max_new_tokens {request.max_new_tokens} "
-                f"exceeds cache_len {self.cache_len}")
+                f"+ round overshoot {overshoot} exceeds cache_len {self.cache_len}")
         rid = self._next_id
         self._next_id += 1
         self._queue.append((rid, request))
@@ -201,10 +222,20 @@ class ServeEngine:
         if not any(s.request_id >= 0 for s in self._slots):
             return
         if self._steps_fn is None:
-            self._steps_fn = self._make_steps(self.sync_steps)
-        self._rng, sub = jax.random.split(self._rng)
-        self.cache, self._cur, self._pos, self._done, toks = self._steps_fn(
-            self.variables, self.cache, self._cur, self._pos, self._done, sub)
+            self._steps_fn = (self._make_steps_spec(self.sync_steps)
+                              if self.spec_k else self._make_steps(self.sync_steps))
+        if self.spec_k:
+            (self.cache, self._cur, self._pos, self._done, self._hist,
+             self._hist_len, gs, keeps) = self._steps_fn(
+                self.variables, self.cache, self._cur, self._pos, self._done,
+                self._hist, self._hist_len)
+            gs, keeps = np.asarray(gs), np.asarray(keeps)  # (iters, b, k+1)
+            # per-slot emitted stream: kept candidates, iteration-major
+            toks = [gs[:, r, :][keeps[:, r, :]] for r in range(self.n_slots)]
+        else:
+            self._rng, sub = jax.random.split(self._rng)
+            self.cache, self._cur, self._pos, self._done, toks = self._steps_fn(
+                self.variables, self.cache, self._cur, self._pos, self._done, sub)
         # ONE host sync per round (relay round-trips dominate at small models):
         # the first tokens of this round's admissions ride the same sync —
         # by now the device has already run their prefills AND this round
@@ -215,7 +246,8 @@ class ServeEngine:
             firsts = {slot: (int(v), budget) for (slot, _, budget), v
                       in zip(self._pending_first, vals)}
             self._pending_first = []
-        toks = np.asarray(toks)
+        if not self.spec_k:
+            toks = np.asarray(toks)
         self._harvest(toks, firsts)
 
     # -------------------------------------------------------------- internals
@@ -246,6 +278,15 @@ class ServeEngine:
                 self._cur, self._pos, self._done, jnp.int32(slot_idx),
                 first_tok, true_len, jnp.int32(self.eos_token_id),
                 jnp.asarray(req.max_new_tokens <= 1))
+            if self.spec_k:
+                # seed the slot's draft history: raw prompt ids (bucket-padded
+                # so jit traces once per bucket) + the prefill's first token
+                L = len(req.input_ids)
+                ids = np.full((self._bucket_for(L),), 0, np.int32)
+                ids[:L] = req.input_ids
+                self._hist, self._hist_len = self._hist_update(
+                    self._hist, self._hist_len, jnp.int32(slot_idx),
+                    jnp.asarray(ids), first_tok, jnp.int32(L))
             self._slots[slot_idx] = _Slot(
                 request_id=rid, budget=req.max_new_tokens,
                 stop_sequences=tuple(tuple(s) for s in req.stop_sequences),
@@ -260,6 +301,16 @@ class ServeEngine:
         pos = pos.at[slot].set(true_len[0].astype(jnp.int32))
         done = done.at[slot].set((first[0] == eos) | budget_done)
         return cur, pos, done
+
+    @staticmethod
+    @jax.jit
+    def _hist_update(hist, hist_len, slot, ids, first, L):
+        """Reset one slot's draft history to [prompt ids, first token]."""
+        row = jnp.zeros((hist.shape[1],), jnp.int32)
+        row = jax.lax.dynamic_update_slice(row, ids.astype(jnp.int32), (0,))
+        row = row.at[L].set(first[0].astype(jnp.int32))
+        hist = jax.lax.dynamic_update_slice(hist, row[None], (slot, jnp.int32(0)))
+        return hist, hist_len.at[slot].set(L + 1)
 
     def _prefill(self, req: GenRequest):
         L = len(req.input_ids)
@@ -359,6 +410,71 @@ class ServeEngine:
                     body, (cache, cur, pos, done, rng), None, length=k)
                 c_cache, c_cur, c_pos, c_done, _ = carry
                 return c_cache, c_cur, c_pos, c_done, toks.T  # toks: (n_slots, k)
+
+            return model.apply(variables, method=run)
+
+        return jax.jit(steps)
+
+    def _make_steps_spec(self, k: int):
+        """Speculative decode round: ``k`` scan iterations, each verifying
+        ``spec_k`` per-slot prompt-lookup drafts in ONE (spec_k+1)-token
+        ``per_slot`` decoder step. The weight stream of a round is identical
+        to the plain round's, so aggregate tok/s multiplies by the mean
+        accepted count. Greedy only; per-slot acceptance keeps every slot's
+        stream exactly equal to its plain-decode stream (same invariants as
+        models/generate.py:_spec_loop, here with per-row offsets)."""
+        from .models.generate import _pld_draft
+
+        model = self.model
+        eos = self.eos_token_id
+        spec_k, ngram = self.spec_k, self.spec_ngram
+        k1 = spec_k + 1
+
+        def steps(variables, cache, cur, pos, done, hist, hist_len):
+            def run(m):
+                def body(carry, _):
+                    cache, cur, pos, done, hist, hist_len = carry
+                    b = cur.shape[0]
+                    draft = jax.vmap(
+                        lambda h, hl: _pld_draft(h, hl, ngram, spec_k))(hist, hist_len)
+                    q_toks = jnp.concatenate([cur[:, None], draft], axis=1)
+                    emb = m.language_model.embed(q_toks)
+                    positions = pos[:, None] + jnp.arange(k1)[None, :]
+                    hidden, c2 = m.language_model.model(
+                        emb, positions, cache, per_slot=True)
+                    g = jnp.argmax(
+                        m.language_model.logits(hidden).astype(jnp.float32), axis=-1
+                    ).astype(jnp.int32)  # (b, k1) greedy
+                    g = jnp.where(done[:, None], eos, g)
+                    emit = jnp.concatenate(
+                        [jnp.ones((b, 1), bool),
+                         jnp.cumprod((draft == g[:, :spec_k]).astype(jnp.int32),
+                                     axis=1).astype(bool)], axis=1)
+                    hit = (g == eos) & emit
+                    before = jnp.cumsum(jnp.concatenate(
+                        [jnp.zeros((b, 1), jnp.int32), hit.astype(jnp.int32)[:, :-1]],
+                        axis=1), axis=1) == 0
+                    keep = emit & before & ~done[:, None]
+                    n_emit = jnp.sum(keep.astype(jnp.int32), axis=1)
+                    # freeze finished/idle rows in place (write offset + pos)
+                    c2 = c2._replace(
+                        length=jnp.where(done, cache.length, cache.length + n_emit))
+                    pos2 = jnp.where(done, pos, pos + n_emit)
+                    done2 = done | jnp.any(hit & keep, axis=1)
+                    cur2 = jnp.where(
+                        done, jnp.int32(eos),
+                        jnp.take_along_axis(
+                            g, jnp.maximum(n_emit - 1, 0)[:, None], axis=1)[:, 0])
+                    hist_w = jax.vmap(
+                        lambda h, hl, row: jax.lax.dynamic_update_slice(h, row, (hl,))
+                    )(hist, hist_len, g)
+                    hist2 = jnp.where(done[:, None], hist, hist_w)
+                    hist_len2 = jnp.where(done, hist_len, hist_len + n_emit)
+                    return (c2, cur2, pos2, done2, hist2, hist_len2), (g, keep)
+
+                carry, (gs, keeps) = jax.lax.scan(
+                    body, (cache, cur, pos, done, hist, hist_len), None, length=k)
+                return (*carry, gs, keeps)  # gs/keeps: (k, n_slots, k1)
 
             return model.apply(variables, method=run)
 

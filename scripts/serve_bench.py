@@ -38,6 +38,7 @@ CACHE_LEN = int(os.environ.get("AB_CACHE_LEN", "1024"))
 SYNC_STEPS = int(os.environ.get("AB_SYNC", "16"))
 ADMIT_AB = os.environ.get("AB_ADMIT_AB", "") == "1"
 ARRIVAL = os.environ.get("AB_ARRIVAL", "batch")  # batch | drip
+SPEC_K = int(os.environ.get("AB_SPEC", "0"))  # adds a spec_k twin per slot count
 OUT_JSON = os.environ.get("AB_OUT")  # also write the JSON artifact here
 
 import jax
@@ -49,12 +50,12 @@ from hicom_tpu.models.hicom import HIComModel
 from hicom_tpu.serve import GenRequest, ServeEngine
 
 
-def build(n_slots, cfg, model, params, sync_admission=False):
+def build(n_slots, cfg, model, params, sync_admission=False, spec_k=0):
     return ServeEngine(
         model, {"params": params}, n_slots=n_slots, cache_len=CACHE_LEN,
         prompt_buckets=(64,), sync_steps=SYNC_STEPS,
         eos_token_id=cfg.text_config.eos_token_id,
-        sync_admission=sync_admission)
+        sync_admission=sync_admission, spec_k=spec_k)
 
 
 def run_arm(eng, cfg, n_reqs):
@@ -123,13 +124,15 @@ def main():
     # then time arms interleaved. Arms: one per slot count; AB_ADMIT_AB adds
     # a sync-admission twin per slot count (same compiled fns — the engines
     # share nothing but jit caches, so the twin costs no extra compiles).
-    arm_specs = [(s, False) for s in SLOTS]
+    arm_specs = [(s, False, 0) for s in SLOTS]
     if ADMIT_AB:
-        arm_specs += [(s, True) for s in SLOTS if s > 1]
+        arm_specs += [(s, True, 0) for s in SLOTS if s > 1]
+    if SPEC_K:
+        arm_specs += [(s, False, SPEC_K) for s in SLOTS]
     engines = {}
-    for s, sync_adm in arm_specs:
-        name = f"{s}{'_syncadmit' if sync_adm else ''}"
-        eng = build(s, cfg, model, params, sync_admission=sync_adm)
+    for s, sync_adm, spk in arm_specs:
+        name = f"{s}{'_syncadmit' if sync_adm else ''}{f'_spec{spk}' if spk else ''}"
+        eng = build(s, cfg, model, params, sync_admission=sync_adm, spec_k=spk)
         for r in requests(cfg, s):  # warm: compiles prefill + steps
             eng.submit(r)
         t0 = time.perf_counter()
@@ -159,6 +162,10 @@ def main():
         a, b = out["arms"].get(str(s)), out["arms"].get(f"{s}_syncadmit")
         if a and b:
             a["admission_async_speedup"] = round(a["tok_per_s"] / b["tok_per_s"], 3)
+    for s in SLOTS:  # speculative-vs-plain speedup per slot count
+        a, b = out["arms"].get(f"{s}_spec{SPEC_K}"), out["arms"].get(str(s))
+        if a and b:
+            a["spec_speedup"] = round(a["tok_per_s"] / b["tok_per_s"], 3)
     line = json.dumps(out)
     if OUT_JSON:
         with open(OUT_JSON, "w") as f:

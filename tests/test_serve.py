@@ -168,3 +168,50 @@ def test_mesh_tp_serving_matches_single_device(setup):
     for rid, req in zip(ids, reqs):
         ref = _reference_tokens(cfg, model, variables, req)
         assert results[rid].tokens.tolist() == ref, (rid, results[rid].tokens, ref)
+
+
+def test_engine_spec_decode_matches_plain(setup):
+    """spec_k engine: mixed requests, slot reuse, budget + keyword stops —
+    every stream equals the per-request plain-greedy output (acceptance only
+    reschedules work, never changes tokens)."""
+    cfg, model, variables = setup
+    eos = cfg.text_config.eos_token_id
+    reqs = [
+        _video_request(cfg, seed=1, L=10, max_new=16),
+        _text_request(cfg, seed=2, L=7, max_new=16),
+        _video_request(cfg, seed=3, L=12, max_new=16),
+        _text_request(cfg, seed=4, L=5, max_new=16),  # reused slot: fresh hist
+    ]
+    eng = ServeEngine(model, variables, n_slots=2, cache_len=256,
+                      prompt_buckets=(12, 16), sync_steps=3,
+                      eos_token_id=eos, spec_k=3)
+    ids = [eng.submit(r) for r in reqs]
+    results = eng.run()
+    for rid, req in zip(ids, reqs):
+        ref = _reference_tokens(cfg, model, variables, req, max_new=16)
+        assert results[rid].tokens.tolist() == ref, (rid,)
+
+    # budget truncation under speculation (mid-chunk overshoot trimmed)
+    req = _video_request(cfg, seed=1, max_new=3)
+    eng2 = ServeEngine(model, variables, n_slots=1, cache_len=256,
+                       prompt_buckets=(12,), sync_steps=4,
+                       eos_token_id=eos, spec_k=3)
+    rid = eng2.submit(req)
+    full = _reference_tokens(cfg, model, variables, _video_request(cfg, seed=1))
+    assert eng2.run()[rid].tokens.tolist() == full[:3]
+
+    # keyword stop under speculation
+    base = _reference_tokens(cfg, model, variables, _video_request(cfg, seed=1))
+    req = _video_request(cfg, seed=1)
+    req.stop_sequences = ((base[1], base[2]),)
+    eng3 = ServeEngine(model, variables, n_slots=1, cache_len=256,
+                       prompt_buckets=(12,), sync_steps=4,
+                       eos_token_id=eos, spec_k=3)
+    rid = eng3.submit(req)
+    assert eng3.run()[rid].tokens.tolist() == base[:1]
+
+
+def test_engine_spec_requires_greedy(setup):
+    cfg, model, variables = setup
+    with pytest.raises(ValueError):
+        ServeEngine(model, variables, spec_k=2, temperature=0.7)
