@@ -856,6 +856,9 @@ def mm_serve(
         top_p=kwargs.get("top_p", 0.9),
         eos_token_id=model.eos_token_id,
         pad_token_id=tokenizer.pad_token_id if tokenizer.pad_token_id is not None else 0,
+        # speculative serving (greedy only): kwarg wins, env is the default
+        spec_k=(0 if do_sample else int(
+            kwargs.get("spec_k", os.environ.get("HICOM_SPEC_DECODE", "0")))),
     )
 
     order = []

@@ -231,6 +231,10 @@ def test_mm_serve_matches_mm_infer(checkpoint):
     served = mm_serve(samples, model, tokenizer, modal="video", n_slots=2,
                       cache_len=256, sync_steps=3, prompt_buckets=(32, 64),
                       max_new_tokens=6)
+    spec = mm_serve(samples, model, tokenizer, modal="video", n_slots=2,
+                    cache_len=256, sync_steps=3, prompt_buckets=(32, 64),
+                    max_new_tokens=6, spec_k=3)
+    assert spec == served  # speculative serving: same strings
     singles = [
         mm_infer(vids[0], "what is in the video ?", model, tokenizer,
                  modal="video", guide_ids=gids[0][None], max_new_tokens=6),
