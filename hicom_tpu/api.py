@@ -44,6 +44,9 @@ class HICom:
     _gen_cache: dict = field(default_factory=dict)
     _eval_mesh: Any = None
     _tower_calibrated: bool = False
+    # pruned fp16 copies of the static-quant tower's original kernels (host),
+    # consumed by the first calibrate_tower for the SmoothQuant refit
+    _fp_tower_kernels: Any = None
 
     def shard_for_eval(self, mesh=None):
         """Replicate params over a mesh and shard subsequent batched-generate
@@ -96,7 +99,11 @@ class HICom:
             return cmodel.apply({"params": params}, method=run, mutable=["calib"])
 
         _, mut = calib_fn(self.params, f, g)
-        self.params = fill_act_scales(self.params, jax.device_get(mut["calib"]))
+        fp = ({"vision_tower": self._fp_tower_kernels}
+              if self._fp_tower_kernels else None)
+        self.params = fill_act_scales(self.params, jax.device_get(mut["calib"]),
+                                      fp_params=fp)
+        self._fp_tower_kernels = None  # refit done — free the host copy
         self._tower_calibrated = True
 
     def _maybe_autocalibrate(self, frames, guide_ids, modal: str) -> None:
@@ -527,15 +534,23 @@ def load_model(
     if scan_layers:
         params["language_model"] = W.stack_decoder_layers(params["language_model"])
     params["vision_tower"] = W.convert_clip_vision(tower_sd) if is_clip else W.convert_siglip_vision(tower_sd)
+    fp_tower_kernels = None
     if load_w8a8_tower:
-        from .models.quant import quantize_tower_params
+        from .models.quant import prune_fp_kernels, quantize_tower_params
 
+        # static modes keep pruned fp16 kernels until the one-time calibration
+        # so the SmoothQuant outlier refit quantizes from fp, not from int8
+        # codes (fill_act_scales fp_params — test_quant_outliers)
+        fp_tower_kernels = prune_fp_kernels(
+            params["vision_tower"], cfg.vision_config.quantization) or None
         params["vision_tower"] = quantize_tower_params(
             params["vision_tower"], mode=cfg.vision_config.quantization)
     if cfg.guide_enabled():
         params["guide_encoder"] = W.convert_clip_text(tower_sd) if is_clip else W.convert_siglip_text(tower_sd)
     if scan_towers:
         params["vision_tower"] = W.stack_encoder_layers(params["vision_tower"])
+        if fp_tower_kernels:
+            fp_tower_kernels = W.stack_encoder_layers(fp_tower_kernels)
         if cfg.guide_enabled():
             params["guide_encoder"] = W.stack_encoder_layers(params["guide_encoder"])
     if proj_sd:
@@ -565,8 +580,10 @@ def load_model(
     eos = raw_cfg.get("eos_token_id", cfg.text_config.eos_token_id)
     if isinstance(eos, list):
         eos = eos[0]
-    return HICom(config=cfg, model=model, params=params, guide_tokenizer=guide_tok,
-                 eos_token_id=eos, cache_len=cache_len)
+    hicom = HICom(config=cfg, model=model, params=params, guide_tokenizer=guide_tok,
+                  eos_token_id=eos, cache_len=cache_len)
+    hicom._fp_tower_kernels = fp_tower_kernels  # host fp16; freed at calibration
+    return hicom
 
 
 def model_init(model_path: str, model_base: Optional[str] = None,

@@ -46,6 +46,12 @@ def build_parser():
                         "(ops/preprocess.py): the host only decodes — the fix "
                         "for 1-core hosts where the PIL/C++ resize can't feed "
                         "the chip (reference hides this in 8 DataLoader workers)")
+    p.add_argument("--calib-video", default=None,
+                   help="calibrate a static-quant tower (w8a8s*) on THIS "
+                        "video's frames before eval, instead of the default "
+                        "self-calibration on the first eval sample — keeps "
+                        "the calibration distribution distinct from the "
+                        "benchmark being scored")
     p.add_argument("--kv-cache-int8", action="store_true")
     p.add_argument("--scan-layers", action="store_true")
     p.add_argument("--data-parallel", action="store_true",
@@ -72,6 +78,15 @@ def main(argv=None):
         load_w8a8_tower=args.tower_quant or False, dec_quant=args.dec_quant,
         device_preprocess=args.device_preprocess,
         kv_cache_int8=args.kv_cache_int8, scan_layers=args.scan_layers)
+    if args.calib_video:
+        import numpy as np
+
+        quant = getattr(model.config.vision_config, "quantization", None) or ""
+        if quant.startswith("w8a8s"):
+            model.calibrate_tower(np.asarray(processor["video"](args.calib_video))[None])
+        else:
+            print(f"--calib-video ignored: tower quantization {quant!r} has no "
+                  "static activation scales to calibrate", file=sys.stderr)
     if args.data_parallel:
         import jax as _jax
 

@@ -73,24 +73,38 @@ def quant_covers(base: Optional[str], site: str) -> bool:
 
 
 class ActQuant(nn.Module):
-    """Static per-tensor activation quantizer: declares ``act_scale`` and
+    """Static per-tensor activation quantizer: declares ``act_scale`` (the
+    per-tensor scale used in dequant) and ``act_smooth`` (per-input-channel
+    SmoothQuant factors — see fill_act_scales; ones = no smoothing) and
     returns (int8 codes, scale). ``calibrate=True`` quantizes with the live
-    per-tensor absmax instead and sows it (max-reduced) into the 'calib'
-    collection so one forward both runs and measures."""
+    per-tensor absmax instead and sows the per-tensor AND per-channel absmax
+    (max-reduced) into the 'calib' collection so one forward both runs and
+    measures.
+
+    With smoothing, the runtime codes are ``round(x / (act_smooth *
+    act_scale))`` — i.e. the quantizer sees the outlier-flattened x/c — while
+    the consumer's int8 kernel has c folded in, so ``acc * act_scale *
+    kernel_scale`` dequantizes exactly. Still a pure elementwise epilogue
+    (one extra broadcast multiply), so it fuses into the producer."""
 
     calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array]:
+        in_dim = x.shape[-1]
         act_scale = self.param("act_scale", nn.initializers.ones, (), jnp.float32)
+        act_smooth = self.param("act_smooth", nn.initializers.ones, (in_dim,), jnp.float32)
         if self.calibrate:
-            amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            ax = jnp.abs(x.astype(jnp.float32))
+            amax_ch = jnp.max(ax, axis=tuple(range(x.ndim - 1)))
+            amax = jnp.max(amax_ch)
             self.sow("calib", "act_amax", amax,
                      reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(0.0))
+            self.sow("calib", "act_amax_ch", amax_ch, reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.zeros((in_dim,), jnp.float32))
             s = jnp.maximum(amax, 1e-8) / 127.0
-        else:
-            s = act_scale
-        return quantize_static(x, s), s
+            return quantize_static(x, s), s
+        return quantize_static(x, act_smooth * act_scale), act_scale
 
 
 class W8A8Dense(nn.Module):
@@ -145,7 +159,9 @@ class W8A8DenseQ(nn.Module):
 class W8A8DenseS(nn.Module):
     """Static-scale w8a8 linear: int8 weights + a calibrated per-tensor
     activation scale (flat param layout: act_scale sits beside kernel_q so the
-    converter stays mechanical). ``calibrate=True`` behaves per ActQuant."""
+    converter stays mechanical), plus per-input-channel ``act_smooth``
+    SmoothQuant factors (ones = off; see ActQuant / fill_act_scales).
+    ``calibrate=True`` behaves per ActQuant."""
 
     features: int
     use_bias: bool = True
@@ -158,14 +174,20 @@ class W8A8DenseS(nn.Module):
         kernel_q = self.param("kernel_q", nn.initializers.zeros, (in_dim, self.features), jnp.int8)
         scale = self.param("kernel_scale", nn.initializers.ones, (self.features,), jnp.float32)
         act_scale = self.param("act_scale", nn.initializers.ones, (), jnp.float32)
+        act_smooth = self.param("act_smooth", nn.initializers.ones, (in_dim,), jnp.float32)
         if self.calibrate:
-            amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            ax = jnp.abs(x.astype(jnp.float32))
+            amax_ch = jnp.max(ax, axis=tuple(range(x.ndim - 1)))
+            amax = jnp.max(amax_ch)
             self.sow("calib", "act_amax", amax,
                      reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(0.0))
+            self.sow("calib", "act_amax_ch", amax_ch, reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.zeros((in_dim,), jnp.float32))
             sx = jnp.maximum(amax, 1e-8) / 127.0
+            xq = quantize_static(x, sx)
         else:
             sx = act_scale
-        xq = quantize_static(x, sx)
+            xq = quantize_static(x, act_smooth * act_scale)
         acc = jax.lax.dot_general(
             xq, kernel_q, (((xq.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
@@ -222,15 +244,48 @@ def quantize_tower_params(vision_params: dict, mode: str = "w8a8") -> dict:
             out = {"kernel_q": kq, "kernel_scale": scale}
             if static and leaf_name not in shared_quant:
                 out["act_scale"] = np.float32(1.0)
+                out["act_smooth"] = np.ones((k.shape[0],), np.float32)
             if "bias" in tree:
                 out["bias"] = np.asarray(tree["bias"], np.float32)
             return out
         new = {kk: walk(vv, f"{path}/{kk}") for kk, vv in tree.items()}
         if static and quant_covers(base, "qkv") and "q_proj" in tree and "kernel" in tree.get("q_proj", {}):
-            new["qkv_quant"] = {"act_scale": np.float32(1.0)}
+            in_dim = np.asarray(tree["q_proj"]["kernel"]).shape[0]
+            new["qkv_quant"] = {"act_scale": np.float32(1.0),
+                                "act_smooth": np.ones((in_dim,), np.float32)}
         return new
 
     return walk(vision_params)
+
+
+def prune_fp_kernels(vision_params: dict, mode: str) -> dict:
+    """fp16 numpy copies of the kernels quantize_tower_params will convert
+    under static ``mode`` — the tree feeds fill_act_scales(fp_params=...) so
+    the SmoothQuant refit requantizes from fp weights instead of compounding
+    on int8 codes. ~0.8GB host RAM for so400m, dropped after the one-time
+    calibration (api.py). Empty dict for dynamic modes (no refit happens)."""
+    base, static, _ = parse_tower_quant(mode)
+    if not static:
+        return {}
+    norm = base.replace("w8a8s", "w8a8")
+    targets = {
+        "w8a8_mlp": ("fc1", "fc2"),
+        "w8a8_mlp_qkv": ("fc1", "fc2", "q_proj", "k_proj", "v_proj"),
+    }.get(norm, ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2"))
+
+    def walk(tree, path=""):
+        if not isinstance(tree, dict):
+            return None
+        if "kernel" in tree and path.rsplit("/", 1)[-1] in targets:
+            return {"kernel": np.asarray(tree["kernel"], np.float16)}
+        out = {}
+        for k, v in tree.items():
+            sub = walk(v, f"{path}/{k}")
+            if sub:
+                out[k] = sub
+        return out or None
+
+    return walk(vision_params) or {}
 
 
 def merge_calib(a, b):
@@ -240,24 +295,108 @@ def merge_calib(a, b):
     return jax.tree_util.tree_map(jnp.maximum, a, b)
 
 
-def fill_act_scales(params, calib, floor: float = 1e-8):
+def fill_act_scales(params, calib, floor: float = 1e-8,
+                    smooth_alpha: float = 0.5, outlier_ratio: float = 8.0,
+                    fp_params=None):
     """Write calibrated activation scales into a static-quant param tree.
 
     ``calib`` is the 'calib' collection from a '+calib' forward: wherever it
     holds an ``act_amax`` leaf, the params' sibling ``act_scale`` becomes
     ``max(amax, floor)/127``. Under nn.scan both sides carry a leading layer
-    axis, which broadcasts through unchanged. Returns a new tree."""
+    axis, which broadcasts through unchanged. Returns a new tree.
 
-    def walk(p, c):
+    OUTLIER HANDLING (VERDICT r3 next-5a). Per-tensor static int8 breaks on
+    trained transformers when a few hidden channels run 10-100x hotter than
+    the rest: the absmax scale crushes normal channels to +-1 codes. When the
+    calibrated per-channel profile is heavy-tailed (``max/median >
+    outlier_ratio``), the site gets SmoothQuant-style per-channel factors
+    ``c = amax_x^alpha / amax_w^(1-alpha)`` (Xiao et al. 2022, arXiv
+    2211.10438): outlier magnitude migrates into the int8 WEIGHTS — which are
+    per-output-channel quantized and eat it losslessly — by refitting
+    ``kernel_q`` from ``c (.) W`` while the runtime quantizes ``x / c``
+    (``act_smooth`` param; see ActQuant). Sites below the threshold keep
+    their codes bit-identical to the pre-smoothing behavior. Under nn.scan
+    the outlier test and the fold apply PER LAYER via masking.
+
+    ``fp_params``: optional tree mirroring ``params`` that carries the
+    ORIGINAL fp ``kernel`` leaves at quantized sites (see prune_fp_kernels).
+    When present, the fold requantizes from fp weights; without it, it
+    requantizes the int8 codes — which cannot recover rows the original
+    conversion already crushed (a hot channel's compensating weight row is
+    ~1/ratio the size of its siblings and quantizes to +-1 codes; measured in
+    test_quant_outliers: refit-from-int8 leaves ~10x the error of
+    refit-from-fp). api.py keeps a pruned fp16 copy alive until the first
+    calibration for exactly this."""
+
+    def smoothed(csite, kernel_sites):
+        """(act_scale, act_smooth, refit kernels) for one quant site.
+        ``kernel_sites``: (site_params, fp_kernel|None) pairs holding the
+        kernel_q/kernel_scale fed by this activation (one for W8A8DenseS;
+        q/k/v for the shared ActQuant)."""
+        amax_ch = jnp.asarray(csite["act_amax_ch"], jnp.float32)  # (..., in)
+        a = jnp.maximum(amax_ch, floor)
+        # per-layer heavy-tail test (leading axes broadcast under nn.scan)
+        hot = (jnp.max(a, axis=-1, keepdims=True)
+               / jnp.maximum(jnp.median(a, axis=-1, keepdims=True), floor)
+               ) > outlier_ratio
+        def base_kernel(ks, fpk):
+            if fpk is not None:
+                return jnp.asarray(fpk, jnp.float32)
+            return (ks["kernel_q"].astype(jnp.float32)
+                    * ks["kernel_scale"].astype(jnp.float32)[..., None, :])
+
+        # combined per-input-channel |W| amax across the site's consumers
+        w_amax = None
+        for ks, fpk in kernel_sites:
+            w = jnp.max(jnp.abs(base_kernel(ks, fpk)), axis=-1)
+            w_amax = w if w_amax is None else jnp.maximum(w_amax, w)
+        c = a ** smooth_alpha / jnp.maximum(w_amax, floor) ** (1.0 - smooth_alpha)
+        c = jnp.where(hot, jnp.clip(c, 1e-4, 1e4), 1.0)
+        act_scale = jnp.max(a / c, axis=-1) / 127.0
+        refit = []
+        for ks, fpk in kernel_sites:
+            k = base_kernel(ks, fpk) * c[..., :, None]
+            absmax = jnp.maximum(jnp.max(jnp.abs(k), axis=-2), floor)
+            kq2 = jnp.clip(jnp.round(k / (absmax / 127.0)[..., None, :]),
+                           -127, 127).astype(jnp.int8)
+            # non-outlier layers keep their original codes bit-exactly
+            refit.append({**ks,
+                          "kernel_q": jnp.where(hot[..., None], kq2, ks["kernel_q"]),
+                          "kernel_scale": jnp.where(hot, (absmax / 127.0).astype(jnp.float32),
+                                                    ks["kernel_scale"])})
+        return act_scale, c, refit
+
+    def fp_at(f, key):
+        return f.get(key) if isinstance(f, dict) else None
+
+    def walk(p, c, f):
         if not isinstance(c, dict):
             return p
         out = dict(p)
         for k, v in c.items():
-            if k == "act_amax":
-                amax = jnp.asarray(v, jnp.float32)
-                out["act_scale"] = jnp.maximum(amax, floor) / 127.0
+            if k in ("act_amax", "act_amax_ch"):
+                continue
+            if (k == "qkv_quant" and isinstance(v, dict) and "act_amax_ch" in v
+                    and "act_smooth" in out.get("qkv_quant", {})):
+                # shared q/k/v quantizer: fold the smoothing into all three
+                projs = [n for n in ("q_proj", "k_proj", "v_proj")
+                         if "kernel_q" in out.get(n, {})]
+                s, sm, refit = smoothed(v, [
+                    (out[n], fp_at(fp_at(f, n), "kernel")) for n in projs])
+                for n, r in zip(projs, refit):
+                    out[n] = r
+                out["qkv_quant"] = {**out["qkv_quant"], "act_scale": s,
+                                    "act_smooth": sm}
             elif k in out:
-                out[k] = walk(out[k], v)
+                out[k] = walk(out[k], v, fp_at(f, k))
+        if "act_amax" in c:
+            if "act_amax_ch" in c and "act_smooth" in out and "kernel_q" in out:
+                s, sm, (refit,) = smoothed(c, [(out, fp_at(f, "kernel"))])
+                out.update(refit)
+                out["act_scale"], out["act_smooth"] = s, sm
+            else:  # pre-r4 calib tree (scalar amax only): plain per-tensor
+                amax = jnp.asarray(c["act_amax"], jnp.float32)
+                out["act_scale"] = jnp.maximum(amax, floor) / 127.0
         return out
 
-    return walk(params, calib)
+    return walk(params, calib, fp_params)

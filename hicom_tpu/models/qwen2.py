@@ -211,6 +211,40 @@ def quantize_decoder_params(lm_params: dict, mode: str = "int8") -> dict:
     return walk(lm_params)
 
 
+def quantize_decoder_shapes(lm_shapes: dict, mode: str = "int8") -> dict:
+    """ShapeDtypeStruct twin of :func:`quantize_decoder_params`: maps an
+    ``eval_shape`` param tree to the quantized storage layout WITHOUT ever
+    materializing fp weights — bench.py builds random 7B QLoRA params straight
+    on device from these shapes (a host fp 7B tree is ~14GB on the 1-core
+    host). Layout must stay in lockstep with quantize_decoder_params
+    (tested by test_quantize_decoder_shapes_match)."""
+    import re as _re
+
+    import jax
+
+    target_re = (r"(gate_proj|up_proj|down_proj)$" if mode == "w8a8_mlp"
+                 else r"(q_proj|k_proj|v_proj|o_proj|gate_proj|up_proj|down_proj)$")
+
+    def walk(tree, path=""):
+        if not isinstance(tree, dict):
+            return tree
+        if "kernel" in tree and _re.search(target_re, path):
+            in_dim, out_dim = tree["kernel"].shape
+            if mode == "nf4":
+                n_groups = (in_dim + NF4_GROUP - 1) // NF4_GROUP
+                out = {"kernel_nf4": jax.ShapeDtypeStruct((in_dim // 2, out_dim), jnp.uint8),
+                       "kernel_scale": jax.ShapeDtypeStruct((n_groups, out_dim), jnp.float32)}
+            else:
+                out = {"kernel_q": jax.ShapeDtypeStruct((in_dim, out_dim), jnp.int8),
+                       "kernel_scale": jax.ShapeDtypeStruct((out_dim,), jnp.float32)}
+            if "bias" in tree:
+                out["bias"] = jax.ShapeDtypeStruct(tree["bias"].shape, jnp.float32)
+            return out
+        return {kk: walk(vv, f"{path}/{kk}") for kk, vv in tree.items()}
+
+    return walk(lm_shapes)
+
+
 def dequantize_decoder_params(lm_params: dict, dtype=jnp.bfloat16) -> dict:
     """Traced inverse of :func:`quantize_decoder_params`: rebuild fp ``kernel``
     leaves from int8/NF4 storage inside a jitted program.

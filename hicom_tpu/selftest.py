@@ -228,7 +228,15 @@ def quant_sweep(workdir: str, hf_export: str, qf: str, vids: str, subs: str,
     leg for the quantized serving defaults at tiny scale).
 
     Returns {mode: {"videomme_accuracy": float, "token_agreement": float}}.
+
+    Static-quant modes (w8a8s*) calibrate on a SEPARATE synthetic video
+    (distinct seed from both the train media and the eval shard — VERDICT r3
+    next-5c: scales must not be fit on the distribution they are scored on);
+    the runner gets it via ``--calib-video`` and the agreement leg calls
+    ``calibrate_tower`` on the same clip before decoding.
     """
+    import numpy as np
+
     from .api import model_init
     from .eval import scorers
     from .eval.common import merge_chunked_videomme
@@ -237,9 +245,12 @@ def quant_sweep(workdir: str, hf_export: str, qf: str, vids: str, subs: str,
     modes = {k: QUANT_MODES[k] for k in (modes or QUANT_MODES)}
     prompts = [(os.path.join(vids, f), "what is in the video ? The best answer is:")
                for f in sorted(os.listdir(vids)) if f.endswith(".mp4")]
+    calib_mp4 = os.path.join(workdir, "calib.mp4")
+    _write_mp4(calib_mp4, seed=777, frames=16)  # disjoint from train/eval seeds
 
     results, ref_tokens = {}, None
     for mode, (argv, kwargs) in modes.items():
+        static = any("w8a8s" in str(a) for a in argv)
         answer_file = os.path.join(workdir, "eval_quant", f"preds_{mode}.json")
         runner_main([
             "--benchmark", "videomme",
@@ -250,11 +261,13 @@ def quant_sweep(workdir: str, hf_export: str, qf: str, vids: str, subs: str,
             "--answer-file", answer_file,
             "--dtype", "float32",
             "--max-new-tokens", "4",
-        ] + list(argv))
+        ] + list(argv) + (["--calib-video", calib_mp4] if static else []))
         report = scorers.score_videomme(
             merge_chunked_videomme([answer_file]), ["short"], skip_missing=True)
 
         hicom, processor, tokenizer = model_init(hf_export, dtype="float32", **kwargs)
+        if static:
+            hicom.calibrate_tower(np.asarray(processor["video"](calib_mp4))[None])
         toks = [_greedy_tokens(hicom, tokenizer, processor, vp, q, max_new)
                 for vp, q in prompts]
         if mode == "fp":

@@ -97,6 +97,10 @@ class ServeEngine:
         mesh: Any = None,
         spec_k: int = 0,
         spec_ngram: int = 3,
+        spec_adaptive: bool = True,
+        spec_max_active: int = 1,
+        spec_min_accept: float = 0.30,
+        spec_retry_rounds: int = 16,
     ):
         self.model = model
         self.variables = variables
@@ -114,8 +118,30 @@ class ServeEngine:
         # decode rounds are weight-streaming-bound, so accepted drafts are
         # nearly free tokens for EVERY resident slot. Greedy only (drafts are
         # accepted against argmax).
+        #
+        # ADAPTIVE POLICY (r4, VERDICT r3 weak-3): measured on chip, spec_k=4
+        # wins at 1 resident slot (1.46x) but LOSES at 4 (0.905x) and 8
+        # (0.947x) slots — once the batch amortizes the weight stream, the
+        # (k+1)-wide verify costs more than accepted drafts return. With
+        # ``spec_adaptive`` (default), each round picks per the live state:
+        #   * plain decode when active slots > ``spec_max_active`` (crossover
+        #     threshold; BENCH_SERVE_r03.json), and
+        #   * plain decode for ``spec_retry_rounds`` after the draft
+        #     acceptance EMA drops below ``spec_min_accept`` (drafts missing —
+        #     the verify is pure overhead), re-probing afterwards.
+        # Plain rounds still maintain the per-slot draft history so a later
+        # spec round has real context. Both modes emit the exact greedy
+        # stream, so the policy is a pure scheduling choice.
         self.spec_k = int(spec_k)
         self.spec_ngram = int(spec_ngram)
+        self.spec_adaptive = bool(spec_adaptive)
+        self.spec_max_active = int(spec_max_active)
+        self.spec_min_accept = float(spec_min_accept)
+        self.spec_retry_rounds = int(spec_retry_rounds)
+        self.spec_rounds = 0    # rounds decoded speculatively (observability)
+        self.plain_rounds = 0   # rounds decoded plainly
+        self._accept_ema: Optional[float] = None  # optimistic until measured
+        self._spec_cooldown = 0
         if self.spec_k > 0 and temperature != 0.0:
             raise ValueError("speculative serving (spec_k > 0) requires greedy "
                              "decoding (temperature == 0)")
@@ -150,7 +176,7 @@ class ServeEngine:
         self._results: Dict[int, GenResult] = {}
         self._next_id = 0
         self._prefill_fns: dict = {}
-        self._steps_fn = None
+        self._steps_fns: dict = {}
         # slots admitted this round whose first token hasn't been fetched yet:
         # [(slot_idx, first_token_array, budget)] — resolved at the round sync
         self._pending_first: List[Tuple[int, Any, int]] = []
@@ -217,25 +243,36 @@ class ServeEngine:
 
     def step_round(self) -> None:
         """One scheduler round: admit into free slots, decode ``sync_steps``
-        tokens for every slot in one device program, harvest finished."""
+        tokens for every slot in one device program, harvest finished.
+        With ``spec_k``, the adaptive policy picks speculative vs plain per
+        round (see __init__); plain rounds still maintain draft history."""
         self._admit()
-        if not any(s.request_id >= 0 for s in self._slots):
+        active = sum(1 for s in self._slots if s.request_id >= 0)
+        if not active:
             return
-        if self._steps_fn is None:
-            self._steps_fn = (self._make_steps_spec(self.sync_steps)
-                              if self.spec_k else self._make_steps(self.sync_steps))
-        if self.spec_k:
+        if self._use_spec(active):
+            self.spec_rounds += 1
             (self.cache, self._cur, self._pos, self._done, self._hist,
-             self._hist_len, gs, keeps) = self._steps_fn(
+             self._hist_len, gs, keeps) = self._get_steps_fn("spec")(
                 self.variables, self.cache, self._cur, self._pos, self._done,
                 self._hist, self._hist_len)
             gs, keeps = np.asarray(gs), np.asarray(keeps)  # (iters, b, k+1)
+            self._note_acceptance(keeps)
             # per-slot emitted stream: kept candidates, iteration-major
             toks = [gs[:, r, :][keeps[:, r, :]] for r in range(self.n_slots)]
+        elif self.spec_k:
+            self.plain_rounds += 1
+            (self.cache, self._cur, self._pos, self._done, self._hist,
+             self._hist_len, toks) = self._get_steps_fn("plain_hist")(
+                self.variables, self.cache, self._cur, self._pos, self._done,
+                self._hist, self._hist_len)
+            toks = np.asarray(toks)
         else:
             self._rng, sub = jax.random.split(self._rng)
-            self.cache, self._cur, self._pos, self._done, toks = self._steps_fn(
-                self.variables, self.cache, self._cur, self._pos, self._done, sub)
+            self.cache, self._cur, self._pos, self._done, toks = self._get_steps_fn(
+                "plain")(self.variables, self.cache, self._cur, self._pos,
+                         self._done, sub)
+            toks = np.asarray(toks)
         # ONE host sync per round (relay round-trips dominate at small models):
         # the first tokens of this round's admissions ride the same sync —
         # by now the device has already run their prefills AND this round
@@ -246,9 +283,43 @@ class ServeEngine:
             firsts = {slot: (int(v), budget) for (slot, _, budget), v
                       in zip(self._pending_first, vals)}
             self._pending_first = []
-        if not self.spec_k:
-            toks = np.asarray(toks)
         self._harvest(toks, firsts)
+
+    def _use_spec(self, active: int) -> bool:
+        """Round-level policy: speculative decode only where it is measured to
+        win — low occupancy AND drafts that actually land."""
+        if not self.spec_k:
+            return False
+        if not self.spec_adaptive:
+            return True
+        if active > self.spec_max_active:
+            return False
+        if self._spec_cooldown > 0:
+            self._spec_cooldown -= 1
+            return False
+        return True
+
+    def _note_acceptance(self, keeps: np.ndarray) -> None:
+        """Track the draft acceptance rate (extra tokens emitted per verify
+        slot-iteration / spec_k) as an EMA; low acceptance arms the cooldown —
+        verifying never-accepted drafts is pure (k+1)-wide overhead."""
+        iters_active = int(keeps[:, :, 0].sum())  # emitting slot-iterations
+        if iters_active == 0:
+            return
+        rate = (int(keeps.sum()) - iters_active) / (iters_active * self.spec_k)
+        self._accept_ema = (rate if self._accept_ema is None
+                            else 0.5 * self._accept_ema + 0.5 * rate)
+        if self.spec_adaptive and self._accept_ema < self.spec_min_accept:
+            self._spec_cooldown = self.spec_retry_rounds
+
+    def _get_steps_fn(self, kind: str):
+        if kind not in self._steps_fns:
+            self._steps_fns[kind] = {
+                "spec": lambda: self._make_steps_spec(self.sync_steps),
+                "plain_hist": lambda: self._make_steps_hist(self.sync_steps),
+                "plain": lambda: self._make_steps(self.sync_steps),
+            }[kind]()
+        return self._steps_fns[kind]
 
     # -------------------------------------------------------------- internals
 
@@ -410,6 +481,46 @@ class ServeEngine:
                     body, (cache, cur, pos, done, rng), None, length=k)
                 c_cache, c_cur, c_pos, c_done, _ = carry
                 return c_cache, c_cur, c_pos, c_done, toks.T  # toks: (n_slots, k)
+
+            return model.apply(variables, method=run)
+
+        return jax.jit(steps)
+
+    def _make_steps_hist(self, k: int):
+        """Plain greedy decode round that ALSO maintains the per-slot draft
+        history — the adaptive policy's fallback arm for spec engines, so a
+        later speculative round sees the full generated context. Emits the
+        identical greedy stream as ``_make_steps`` at temperature 0; the
+        history write is one (1,)-slice scatter per slot-iteration
+        (negligible next to the weight stream)."""
+        model = self.model
+        eos = self.eos_token_id
+
+        def steps(variables, cache, cur, pos, done, hist, hist_len):
+            def run(m):
+                def body(carry, _):
+                    cache, cur, pos, done, hist, hist_len = carry
+                    emb = m.language_model.embed(cur[:, None])
+                    hidden, c2 = m.language_model.model(
+                        emb, pos[:, None], cache, per_slot=True)
+                    c2 = c2._replace(length=jnp.where(done, cache.length, c2.length))
+                    logits = m.language_model.logits(hidden)[:, 0]
+                    tok = jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+                    tok = jnp.where(done, eos, tok)
+                    done2 = done | (tok == eos)
+                    pos2 = jnp.where(done, pos, pos + 1)
+                    hist_w = jax.vmap(
+                        lambda h, hl, t_: jax.lax.dynamic_update_slice(h, t_[None], (hl,))
+                    )(hist, hist_len, tok)
+                    hist2 = jnp.where(done[:, None], hist, hist_w)
+                    hist_len2 = jnp.where(done, hist_len, hist_len + 1)
+                    return (c2, tok, pos2, done2, hist2, hist_len2), tok
+
+                carry, toks = jax.lax.scan(
+                    body, (cache, cur, pos, done, hist, hist_len), None, length=k)
+                c_cache, c_cur, c_pos, c_done, c_hist, c_hist_len = carry
+                return (c_cache, c_cur, c_pos, c_done, c_hist, c_hist_len,
+                        toks.T)  # toks: (n_slots, k)
 
             return model.apply(variables, method=run)
 

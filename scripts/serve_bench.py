@@ -39,6 +39,11 @@ SYNC_STEPS = int(os.environ.get("AB_SYNC", "16"))
 ADMIT_AB = os.environ.get("AB_ADMIT_AB", "") == "1"
 ARRIVAL = os.environ.get("AB_ARRIVAL", "batch")  # batch | drip
 SPEC_K = int(os.environ.get("AB_SPEC", "0"))  # adds a spec_k twin per slot count
+# 1 (default): the engine's adaptive policy (spec only at low occupancy +
+# accepted drafts — the production default); 0: spec forced every round
+# (the r3 shape that lost at 4/8 slots, kept for the crossover A/B)
+SPEC_ADAPTIVE = os.environ.get("AB_SPEC_ADAPTIVE", "1") == "1"
+SPEC_MAX_ACTIVE = int(os.environ.get("AB_SPEC_MAX_ACTIVE", "1"))
 OUT_JSON = os.environ.get("AB_OUT")  # also write the JSON artifact here
 
 import jax
@@ -55,7 +60,8 @@ def build(n_slots, cfg, model, params, sync_admission=False, spec_k=0):
         model, {"params": params}, n_slots=n_slots, cache_len=CACHE_LEN,
         prompt_buckets=(64,), sync_steps=SYNC_STEPS,
         eos_token_id=cfg.text_config.eos_token_id,
-        sync_admission=sync_admission, spec_k=spec_k)
+        sync_admission=sync_admission, spec_k=spec_k,
+        spec_adaptive=SPEC_ADAPTIVE, spec_max_active=SPEC_MAX_ACTIVE)
 
 
 def run_arm(eng, cfg, n_reqs):
@@ -145,6 +151,7 @@ def main():
            "sync_steps": SYNC_STEPS, "arrival": ARRIVAL,
            "relay_health": health, "arms": {}}
     for name, eng in engines.items():
+        eng.spec_rounds = eng.plain_rounds = 0  # exclude the warmup rounds
         results, dt = run_arm(eng, cfg, N_REQS)
         toks = sum(len(r.tokens) + 1 for r in results.values())  # + eos step
         out["arms"][name] = {
@@ -152,6 +159,10 @@ def main():
             "tok_per_s": round(toks / dt, 1),
             "req_per_s": round(len(results) / dt, 2),
         }
+        if eng.spec_k:
+            out["arms"][name]["spec_rounds"] = eng.spec_rounds
+            out["arms"][name]["plain_rounds"] = eng.plain_rounds
+            out["arms"][name]["spec_adaptive"] = eng.spec_adaptive
         print(f"slots={name}: {out['arms'][name]}", file=sys.stderr)
     base = out["arms"].get("1", {}).get("tok_per_s")
     if base:

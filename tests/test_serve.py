@@ -215,3 +215,82 @@ def test_engine_spec_requires_greedy(setup):
     cfg, model, variables = setup
     with pytest.raises(ValueError):
         ServeEngine(model, variables, spec_k=2, temperature=0.7)
+
+
+def test_spec_policy_occupancy_switch(setup):
+    """Adaptive policy (VERDICT r3 weak-3): at occupancy above
+    spec_max_active the engine decodes PLAIN rounds (the measured-loss
+    regime), switching to speculative rounds as slots drain — and the
+    plain rounds keep the draft history coherent, so post-switch spec
+    rounds still emit the exact greedy streams."""
+    cfg, model, variables = setup
+    eos = cfg.text_config.eos_token_id
+    reqs = [_text_request(cfg, seed=s, L=7, max_new=m)
+            for s, m in ((2, 24), (4, 6), (5, 6))]
+    eng = ServeEngine(model, variables, n_slots=2, cache_len=256,
+                      prompt_buckets=(12,), sync_steps=2, eos_token_id=eos,
+                      spec_k=3, spec_max_active=1)
+    ids = [eng.submit(r) for r in reqs]
+    results = eng.run()
+    # both regimes must have run: 2 active slots → plain; the long request's
+    # tail (1 active) → spec
+    assert eng.plain_rounds > 0 and eng.spec_rounds > 0, (
+        eng.plain_rounds, eng.spec_rounds)
+    for rid, req in zip(ids, reqs):
+        ref = _reference_tokens(cfg, model, variables, req,
+                                max_new=req.max_new_tokens)
+        assert results[rid].tokens.tolist() == ref[:req.max_new_tokens], (rid,)
+
+
+def test_spec_policy_single_slot_stays_speculative(setup):
+    """1 resident slot is the measured-win regime: the adaptive default
+    decodes every round speculatively (no cooldown at healthy acceptance)."""
+    cfg, model, variables = setup
+    eng = ServeEngine(model, variables, n_slots=1, cache_len=256,
+                      prompt_buckets=(12,), sync_steps=2,
+                      eos_token_id=cfg.text_config.eos_token_id,
+                      spec_k=3, spec_min_accept=0.0)
+    rid = eng.submit(_text_request(cfg, seed=2, L=7, max_new=12))
+    results = eng.run()
+    assert eng.spec_rounds > 0 and eng.plain_rounds == 0, (
+        eng.spec_rounds, eng.plain_rounds)
+    ref = _reference_tokens(cfg, model, variables,
+                            _text_request(cfg, seed=2, L=7), max_new=12)
+    assert results[rid].tokens.tolist() == ref[:12]
+
+
+def test_spec_policy_acceptance_cooldown(setup):
+    """Low draft acceptance arms the cooldown: spec_min_accept > 1 makes any
+    measured rate 'too low', so after the first speculative round the engine
+    decodes plain for spec_retry_rounds, then re-probes — and the stream
+    stays exactly greedy through every switch."""
+    cfg, model, variables = setup
+    eng = ServeEngine(model, variables, n_slots=1, cache_len=256,
+                      prompt_buckets=(12,), sync_steps=2,
+                      eos_token_id=cfg.text_config.eos_token_id,
+                      spec_k=3, spec_min_accept=1.01, spec_retry_rounds=2)
+    rid = eng.submit(_text_request(cfg, seed=2, L=7, max_new=24))
+    results = eng.run()
+    # probe → cooldown(2 plain) → probe → ... : both counters advance
+    assert eng.spec_rounds >= 2 and eng.plain_rounds >= 2, (
+        eng.spec_rounds, eng.plain_rounds)
+    ref = _reference_tokens(cfg, model, variables,
+                            _text_request(cfg, seed=2, L=7), max_new=24)
+    assert results[rid].tokens.tolist() == ref[:24]
+
+
+def test_spec_policy_forced_off_adaptive(setup):
+    """spec_adaptive=False reproduces the r3 always-spec engine (the serve
+    bench's crossover A/B arm)."""
+    cfg, model, variables = setup
+    reqs = [_text_request(cfg, seed=s, L=7, max_new=8) for s in (2, 4)]
+    eng = ServeEngine(model, variables, n_slots=2, cache_len=256,
+                      prompt_buckets=(12,), sync_steps=2,
+                      eos_token_id=cfg.text_config.eos_token_id,
+                      spec_k=3, spec_adaptive=False)
+    ids = [eng.submit(r) for r in reqs]
+    results = eng.run()
+    assert eng.plain_rounds == 0 and eng.spec_rounds > 0
+    for rid, req in zip(ids, reqs):
+        ref = _reference_tokens(cfg, model, variables, req, max_new=8)
+        assert results[rid].tokens.tolist() == ref[:8], (rid,)
