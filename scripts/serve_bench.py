@@ -44,6 +44,10 @@ SPEC_K = int(os.environ.get("AB_SPEC", "0"))  # adds a spec_k twin per slot coun
 # (the r3 shape that lost at 4/8 slots, kept for the crossover A/B)
 SPEC_ADAPTIVE = os.environ.get("AB_SPEC_ADAPTIVE", "1") == "1"
 SPEC_MAX_ACTIVE = int(os.environ.get("AB_SPEC_MAX_ACTIVE", "1"))
+# int8 KV cache (per-slot absmax, models/qwen2.py): default ON for 7b — the
+# flagship serving config pairs the int8 weight-only decoder with int8 KV
+# (VERDICT r3 next-3); override with AB_KV_INT8=0/1
+KV_INT8 = os.environ.get("AB_KV_INT8", "1" if MODEL == "7b" else "0") == "1"
 OUT_JSON = os.environ.get("AB_OUT")  # also write the JSON artifact here
 
 import jax
@@ -114,7 +118,7 @@ def main():
     else:
         health = relay_health()
         print(f"relay_health: {health}", file=sys.stderr)
-        cfg = serving_config(MODEL)
+        cfg = serving_config(MODEL, **({"kv_cache_int8": True} if KV_INT8 else {}))
     model = HIComModel(config=cfg)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(5, min(1000, cfg.text_config.vocab_size), (1, 8))).at[0, 2].set(VIDEO_TOKEN_INDEX)
@@ -148,6 +152,7 @@ def main():
         engines[name] = eng
 
     out = {"model": MODEL, "max_new": MAX_NEW, "n_reqs": N_REQS,
+           "kv_cache_int8": KV_INT8,
            "sync_steps": SYNC_STEPS, "arrival": ARRIVAL,
            "relay_health": health, "arms": {}}
     for name, eng in engines.items():

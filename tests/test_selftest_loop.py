@@ -39,7 +39,12 @@ def test_closed_accuracy_loop_with_quant_parity(tmp_path):
     sweep = out["quant_sweep"]
     fp_acc = sweep["fp"]["videomme_accuracy"]
     assert fp_acc >= 75.0, sweep
+    # Thresholds raised per VERDICT r3 next-5b: the full sweep (distinct
+    # seed-777 calibration clip, epochs=20) MEASURES token_agreement = 1.0
+    # for every mode (recorded 2026-08-20, TODO.md r4 log). 0.97/0.99 leaves
+    # headroom for benign cross-platform rounding only — the old 0.8/0.9
+    # would have passed a 20% greedy-token disagreement.
     for mode, r in sweep.items():
         assert r["videomme_accuracy"] == fp_acc, (mode, sweep)
-        assert r["token_agreement"] >= 0.8, (mode, sweep)
-    assert sweep["serving_default"]["token_agreement"] >= 0.9, sweep
+        assert r["token_agreement"] >= 0.97, (mode, sweep)
+    assert sweep["serving_default"]["token_agreement"] >= 0.99, sweep
