@@ -267,10 +267,18 @@ def serving_config(model: str = "1.5b", frames: int = 32, tower_quant: str = Non
 
 
 
-def random_params_like(shapes):
+def random_params_like(shapes, float_dtype=None):
     """Random params matching an eval_shape tree, generated on-device in one
     jitted program (never materializes an fp32 host tree; dtype-aware so int8/
-    uint8 quantized kernels get integer codes). Shared with scripts/decode_ab.py."""
+    uint8 quantized kernels get integer codes). Shared with scripts/decode_ab.py.
+
+    ``float_dtype``: override the dtype of every FLOATING leaf (int leaves
+    keep theirs). Serving/decode benches pass ``jnp.bfloat16`` to mirror the
+    real load path — load_pretrained_model casts all floating leaves to the
+    serving dtype at device_put (api.py:568) — so init-shape fp32 storage
+    never inflates weight-streaming bytes (or HBM: the 7B serving tree is
+    14.5 GB fp32 vs ~10.5 GB bf16+int8 on a 16 GB chip). Training modes keep
+    the init dtypes (fp32 masters)."""
     import jax
     import jax.numpy as jnp
 
@@ -284,7 +292,8 @@ def random_params_like(shapes):
             if s.dtype in (jnp.int8, jnp.uint8):  # quantized kernels/codes
                 vals.append(jax.random.randint(k, s.shape, -120, 120, jnp.int32).astype(s.dtype))
             else:  # weights and (for quantized layers) f32 scales
-                vals.append(jax.random.normal(k, s.shape, jnp.bfloat16).astype(s.dtype) * 0.02)
+                dt = float_dtype if float_dtype is not None else s.dtype
+                vals.append(jax.random.normal(k, s.shape, jnp.bfloat16).astype(dt) * 0.02)
         return jax.tree_util.tree_unflatten(treedef, vals)
 
     return make(jax.random.PRNGKey(0))
@@ -531,7 +540,8 @@ def _run_decode(args, flags):
     shapes = jax.eval_shape(
         lambda r: model.init(r, ids, fr, guide_ids=gids, modal="video")["params"],
         jax.random.PRNGKey(0))
-    params = random_params_like(shapes)
+    # serving dtype: floating leaves bf16, as the real load path stores them
+    params = random_params_like(shapes, float_dtype=jnp.bfloat16)
     health = None
     if not args.small:
         health = relay_health()
@@ -703,7 +713,7 @@ def _make_arm(args, tower_quant: str, dec_quant: str):
         lambda r: model.init(r, init_ids, frames[:1, :1], guide_ids=gids[:1], modal="video")["params"],
         jax.random.PRNGKey(0),
     )
-    params = random_params_like(shapes)
+    params = random_params_like(shapes, float_dtype=jnp.bfloat16)
     if not args.small and tower_quant.startswith("w8a8s"):
         params = calibrate_static_tower(model, cfg, params, frames, gids, tower_quant)
 

@@ -23,7 +23,7 @@ ids = jnp.asarray(rng.integers(5, 1000, (1, 8))).at[0, 2].set(VIDEO_TOKEN_INDEX)
 fr = jnp.asarray(rng.standard_normal((1, 1, 3, 384, 384)), jnp.bfloat16)
 gids = jnp.asarray(rng.integers(1, 100, (1, 24)))
 shapes = jax.eval_shape(lambda r: model.init(r, ids, fr, guide_ids=gids, modal="video")["params"], jax.random.PRNGKey(0))
-params = random_params_like(shapes)
+params = random_params_like(shapes, float_dtype=jnp.bfloat16)
 tc = cfg.text_config
 b = 1
 cache = KVCache.zeros(tc.num_hidden_layers, b, tc.num_key_value_heads, CACHE_LEN, tc.head_dim, jnp.bfloat16, quantized=INT8)

@@ -128,7 +128,9 @@ def main():
     shapes = jax.eval_shape(
         lambda r: model.init(r, ids, fr, guide_ids=gids, modal="video")["params"],
         jax.random.PRNGKey(0))
-    params = random_params_like(shapes)
+    # serving dtype: floating leaves bf16 (api.py:568 load-path parity; the
+    # fp32 init tree is 14.5 GB at 7B and OOMs two resident engines)
+    params = random_params_like(shapes, float_dtype=jnp.bfloat16)
 
     # build + warm every arm first (compile outside the timing windows),
     # then time arms interleaved. Arms: one per slot count; AB_ADMIT_AB adds
