@@ -565,7 +565,8 @@ def _run_decode(args, flags):
                               cache_len, tc.head_dim, jnp.bfloat16, quantized=args.kv_int8)
         cache = cache._replace(
             length=jnp.full((b,), cache_len - 64, jnp.int32),
-            valid=(jnp.arange(cache_len)[None, :] < cache_len - 64),
+            valid=jnp.broadcast_to(jnp.arange(cache_len)[None, :] < cache_len - 64,
+                                   (b, cache_len)),
         )
         emb = jnp.asarray(rng.standard_normal((b, 1, tc.hidden_size)), jnp.bfloat16)
         pos = jnp.full((b, 1), cache_len - 64, jnp.int32)
