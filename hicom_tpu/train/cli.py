@@ -280,35 +280,48 @@ def main(argv=None):
                                                  args.lr_scheduler_type), weight_decay=args.weight_decay)
             lora_step_fns: dict = {}
 
+            qmodel = model
             if args.bits != 16:
-                from ..models.qwen2 import dequantize_decoder_params, quantize_decoder_params
+                # QLoRA: quantize the fp decoder once on host, then run the
+                # QUANTIZED modules (QuantDense/QuantDense4) so dequantization
+                # happens inside each layer's remat boundary, with adapters on
+                # the lora_interceptor side-path. Merging W+sAB instead keeps
+                # the full fp decoder alive across fwd+bwd (13 GB at 7B —
+                # measured XLA compile OOM). Frozen non-decoder floats are
+                # stored in the compute dtype (they take no optimizer state).
+                import dataclasses as _dc
+
+                from ..models.hicom import HIComModel as _HM
+                from ..models.qwen2 import quantize_decoder_params
 
                 qmode = "nf4" if args.bits == 4 else "int8"
                 lm_host = jax.device_get(dict(base_params)["language_model"])
                 q_lm = jax.tree.map(jnp.asarray, quantize_decoder_params(lm_host, qmode))
-                frozen_rest = {k: v for k, v in dict(base_params).items() if k != "language_model"}
                 qdt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+                frozen_rest = {
+                    k: jax.tree.map(
+                        lambda x: x.astype(qdt) if jnp.issubdtype(x.dtype, jnp.floating) else x, v)
+                    for k, v in dict(base_params).items() if k != "language_model"}
+                frozen_params = {**frozen_rest, "language_model": q_lm}
+                qmodel = _HM(config=_dc.replace(
+                    cfg, text_config=_dc.replace(cfg.text_config, quantization=qmode)))
                 del lm_host, state, base_params  # free the fp decoder
 
             def wrap_lora_loss(base_loss_fn):
                 if args.bits == 16:
                     return make_lora_loss_fn(base_loss_fn, base_params,
                                              alpha=args.lora_alpha, rank=args.lora_r)
-                from .lora import apply_lora
+                from .lora import make_qlora_loss_fn
 
-                def loss_fn(lora, batch):
-                    fp = {**frozen_rest,
-                          "language_model": dequantize_decoder_params(q_lm, qdt)}
-                    return base_loss_fn(apply_lora(fp, lora, args.lora_alpha, args.lora_r), batch)
-
-                return loss_fn
+                return make_qlora_loss_fn(base_loss_fn, frozen_params,
+                                          alpha=args.lora_alpha, rank=args.lora_r)
 
             def get_lora_step_fn(batch):
                 key = (batch.get("modal", modal), bool(batch.get("multi_image", False)),
                        "frames" in batch)
                 if key not in lora_step_fns:
                     loss_fn = wrap_lora_loss(
-                        make_loss_fn(model, key[0], has_frames=key[2], multi_image=key[1]))
+                        make_loss_fn(qmodel, key[0], has_frames=key[2], multi_image=key[1]))
 
                     def lora_step(carry, batch, loss_fn=loss_fn):
                         lora, opt_state, step_count = carry

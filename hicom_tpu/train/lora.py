@@ -31,11 +31,25 @@ def _paths(tree):
 
 
 def target_kernels(params: Any, target_regex: str = DEFAULT_TARGET) -> Dict[str, Tuple[int, int]]:
-    """{path: (in_dim, out_dim)} of kernels LoRA attaches to."""
+    """{path: (in_dim, out_dim)} of kernels LoRA attaches to.
+
+    Quantized decoder layouts are understood directly: ``kernel_q`` (int8,
+    (in, out)) and ``kernel_nf4`` (packed uint8, (in/2, out)) leaves map to
+    their fp ``.../kernel`` path with the unpacked dims, so adapters can be
+    initialized against a quantized base tree without ever materializing the
+    fp decoder (the QLoRA side-path, :func:`lora_interceptor`)."""
     out = {}
     for path, leaf in _paths(params):
-        if re.search(target_regex, path) and getattr(leaf, "ndim", 0) == 2:
+        if getattr(leaf, "ndim", 0) != 2:
+            continue
+        if re.search(target_regex, path):
             out[path] = tuple(leaf.shape)
+            continue
+        for suffix, row_expand in (("kernel_q", 1), ("kernel_nf4", 2)):
+            if path.endswith("/" + suffix):
+                fp_path = path[: -len(suffix)] + "kernel"
+                if re.search(target_regex, fp_path):
+                    out[fp_path] = (leaf.shape[0] * row_expand, leaf.shape[1])
     return out
 
 
@@ -94,6 +108,55 @@ def make_lora_loss_fn(base_loss_fn: Callable, params: Any, alpha: float = 16.0, 
 
     def loss_fn(lora, batch):
         return base_loss_fn(apply_lora(params, lora, alpha, rank), batch)
+
+    return loss_fn
+
+
+def lora_interceptor(lora: Dict[str, Dict[str, jnp.ndarray]], alpha: float = 16.0,
+                     rank: int = 8, compute_dtype=jnp.bfloat16):
+    """``flax.linen.intercept_methods`` hook implementing the QLoRA side-path:
+    ``y = base(x) + (alpha/rank) * (x @ A) @ B`` on targeted linears.
+
+    Unlike :func:`apply_lora` (which merges ``W + s·AB`` into fp kernels and
+    therefore needs the full fp decoder in the traced program), the base
+    module is untouched — a QUANTIZED decoder (QuantDense / QuantDense4,
+    models/qwen2.py) keeps int8/NF4 kernels resident and dequantizes INSIDE
+    each layer's ``nn.remat`` boundary, so backward re-derives one layer's fp
+    kernels at a time instead of holding all of them (13 GB at 7B dims —
+    measured XLA compile OOM, r4). This is the reference's bitsandbytes
+    Linear4bit+LoRA decomposition (``train.py:567-587``) done the JAX way.
+
+    Adapter matmuls run in ``compute_dtype`` (fp32 masters stay in the
+    optimizer — standard mixed precision; the side-path is ~r/d of base
+    FLOPs, and bf16 keeps it on the fast MXU path)."""
+    scaling = alpha / rank
+    by_module = {k[: -len("/kernel")]: v for k, v in lora.items()}
+
+    def interceptor(next_fn, args, kwargs, context):
+        y = next_fn(*args, **kwargs)
+        if context.method_name != "__call__" or not args:
+            return y
+        ab = by_module.get("/".join(context.module.path))
+        if ab is None:
+            return y
+        x = args[0].astype(compute_dtype)
+        delta = (x @ ab["a"].astype(compute_dtype)) @ ab["b"].astype(compute_dtype)
+        return y + (delta * jnp.asarray(scaling, compute_dtype)).astype(y.dtype)
+
+    return interceptor
+
+
+def make_qlora_loss_fn(base_loss_fn: Callable, params: Any, alpha: float = 16.0, rank: int = 8):
+    """loss(lora, batch) over a FROZEN — typically quantized — base tree: the
+    adapter contribution is injected per-linear by :func:`lora_interceptor`,
+    never merged into kernels. Use with a model whose text config has
+    ``quantization="nf4"``/``"int8"`` and ``remat=True`` for the
+    one-chip-7B memory profile."""
+    import flax.linen as nn
+
+    def loss_fn(lora, batch):
+        with nn.intercept_methods(lora_interceptor(lora, alpha, rank)):
+            return base_loss_fn(params, batch)
 
     return loss_fn
 

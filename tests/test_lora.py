@@ -164,3 +164,83 @@ def test_peft_adapter_roundtrip(setup, tmp_path):
     for p in lora:
         np.testing.assert_allclose(np.asarray(restored[p]["a"]), np.asarray(lora[p]["a"]), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(restored[p]["b"]), np.asarray(lora[p]["b"]), rtol=1e-6)
+
+
+def test_target_kernels_quant_layout(setup):
+    """target_kernels resolves kernel_q/kernel_nf4 storage to the fp paths and
+    unpacked dims, so adapters init against a quantized base tree directly."""
+    from hicom_tpu.models.qwen2 import quantize_decoder_shapes
+
+    _, _, params, _ = setup
+    fp_targets = target_kernels(params)
+    shapes = jax.eval_shape(lambda: params)
+    for mode in ("int8", "nf4"):
+        q_shapes = {**dict(shapes),
+                    "language_model": quantize_decoder_shapes(dict(shapes)["language_model"], mode)}
+        q_targets = target_kernels(q_shapes)
+        assert q_targets == fp_targets, (mode, set(fp_targets) ^ set(q_targets))
+
+
+def test_qlora_interceptor_matches_merged(setup):
+    """The side-path (y + s·(xA)B, lora_interceptor) equals the merged overlay
+    (x·(W + s·AB), apply_lora) on an fp base, up to fp association order."""
+    import flax.linen as nn
+
+    from hicom_tpu.train.lora import lora_interceptor
+
+    cfg, model, params, batch = setup
+    lora = init_lora_params(params, rank=4, rng=jax.random.PRNGKey(3))
+    lora = jax.tree.map(lambda x: x + 0.01, lora)  # nonzero B → nontrivial overlay
+    base_loss = make_loss_fn(model, modal="video")
+
+    l_merged = float(base_loss(apply_lora(params, lora, 16, 4), batch)[0])
+    with nn.intercept_methods(lora_interceptor(lora, 16, 4, compute_dtype=jnp.float32)):
+        l_side = float(base_loss(params, batch)[0])
+    assert abs(l_merged - l_side) < 1e-4 * max(1.0, abs(l_merged)), (l_merged, l_side)
+
+
+def test_qlora_interceptor_quant_base_trains(setup):
+    """QLoRA the memory-safe way: QUANTIZED decoder modules (dequant inside the
+    per-layer remat boundary) + interceptor side-path. Identity at init (B=0)
+    and loss decreases training only the adapters; grads reach every target."""
+    import dataclasses as dc
+
+    from hicom_tpu.models.qwen2 import quantize_decoder_params
+    from hicom_tpu.train.lora import make_qlora_loss_fn
+
+    cfg, model, params, batch = setup
+    qcfg = dc.replace(cfg, text_config=dc.replace(cfg.text_config,
+                                                  quantization="int8", remat=True))
+    qmodel = HIComModel(config=qcfg)
+    q_lm = jax.tree.map(jnp.asarray,
+                        quantize_decoder_params(jax.device_get(params["language_model"]), "int8"))
+    frozen = {**{k: v for k, v in params.items() if k != "language_model"},
+              "language_model": q_lm}
+
+    lora = init_lora_params(frozen, rank=4)  # targets resolved from the QUANT tree
+    base_loss = make_loss_fn(qmodel, modal="video")
+    loss_fn = make_qlora_loss_fn(base_loss, frozen, alpha=16, rank=4)
+
+    # identity at init: side-path is zero (B=0) → equals the plain quant-base loss
+    l_base = float(base_loss(frozen, batch)[0])
+    l_init = float(loss_fn(lora, batch)[0])
+    assert abs(l_base - l_init) < 1e-5 * max(1.0, abs(l_base)), (l_base, l_init)
+
+    tx = optax.adam(5e-3)
+    opt_state = tx.init(lora)
+
+    @jax.jit
+    def step(lora, opt_state, batch):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(lora, batch)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(lora, updates), opt_state, loss, grads
+
+    losses = []
+    for i in range(4):
+        lora, opt_state, loss, grads = step(lora, opt_state, batch)
+        losses.append(float(loss))
+        if i == 0:  # B=0 ⇒ dL/dA = 0, but every B must see a gradient
+            gb = [float(jnp.abs(g["b"]).max()) for g in jax.tree.leaves(
+                {k: v for k, v in grads.items()}, is_leaf=lambda x: isinstance(x, dict) and "b" in x)]
+            assert all(g > 0 for g in gb), "a LoRA target got no gradient through the interceptor"
+    assert losses[-1] < losses[0], losses
