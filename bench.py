@@ -104,6 +104,14 @@ def _cached_fallback(reason: str):
         with open(CACHE) as f:
             cached = json.load(f)
         cached["detail"]["stale"] = reason
+        # self-describing age (VERDICT r4 weak-1): a consumer must be able to
+        # tell a day-old replay from a month-old one, and a silent perf
+        # regression must not hide behind an undated cache forever.
+        prov = cached["detail"].get("cache_provenance")
+        if prov and "run_unix" in prov:
+            cached["detail"]["stale_age_hours"] = round(
+                (time.time() - prov["run_unix"]) / 3600.0, 1)
+            cached["detail"]["stale_run_date"] = prov.get("run_date")
         print(json.dumps(cached))
         return
     print(json.dumps({"metric": "video_frames_per_sec_per_chip_e2e_prefill",
@@ -145,11 +153,14 @@ def main():
                          "2026-08-18: w8a8s_mlp_qkv 195.3 ~= full w8a8s 195.0 "
                          "vs dynamic w8a8_mlp_qkv 177.8 f/s (+9.8%%); 'none' "
                          "= bf16 reference numerics)")
-    ap.add_argument("--dec-quant", choices=("none", "int8", "w8a8", "w8a8_mlp"),
+    ap.add_argument("--dec-quant", choices=("none", "int8", "w8a8", "w8a8_mlp",
+                                            "w8a8s", "w8a8s_mlp"),
                     default=os.environ.get("HICOM_DEC_QUANT", "w8a8"),
                     help="decoder quantization for the prefill bench (default "
                          "w8a8: int8 MXU serving prefill — chip A/B 177.5 vs "
-                         "174.9 f/s on top of w8a8_mlp_qkv tower)")
+                         "174.9 f/s on top of w8a8_mlp_qkv tower; w8a8s* = "
+                         "static CALIBRATED activation scales so the quantize "
+                         "fuses into the producer, as the tower's w8a8s does)")
     ap.add_argument("--decode", action="store_true",
                     help="measure decode steps at b∈{1,4,8} instead of the "
                          "e2e prefill metric (serving throughput table)")
@@ -333,6 +344,43 @@ def calibrate_static_tower(model, cfg, params, frames, gids, tower_quant):
     return fill_act_scales(params, jax.device_get(mut["calib"]))
 
 
+def calibrate_static_decoder(model, cfg, params, input_ids, frames, gids, dec_quant):
+    """Fill the static-quant DECODER's act_scale params (dec "w8a8s*" modes —
+    VERDICT r4 next-1): a '+calib' text-config twin runs the real serving
+    prefill (guide → visual → splice → decoder) with live per-tensor absmax
+    quantization while sowing each W8A8DenseS site's amax, then
+    fill_act_scales writes scales/smoothing into the tree. One frame-slice
+    forward — per-tensor scales are shape-independent. The tower config is
+    left as-is (already calibrated or dynamic), so tower sites sow nothing."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from hicom_tpu.models.hicom import HIComModel
+    from hicom_tpu.models.quant import fill_act_scales
+
+    ccfg = dataclasses.replace(
+        cfg, text_config=dataclasses.replace(
+            cfg.text_config, quantization=dec_quant + "+calib"))
+    cmodel = HIComModel(config=ccfg)
+    cf = frames[:1, : min(8, frames.shape[1])]
+
+    @jax.jit
+    def calib_fn(params, ids, f, g):
+        def run(m):
+            ge = m.encode_guide(g)
+            visual = m.encode_visual(f, ge, "video")
+            spliced = m.embed_and_splice(ids, visual)
+            hidden, _ = m.language_model.model(spliced.embeds, spliced.positions)
+            return jnp.sum(m.language_model.logits(hidden[:, -1:]).astype(jnp.float32))
+
+        return cmodel.apply({"params": params}, method=run, mutable=["calib"])
+
+    _, mut = calib_fn(params, input_ids[:1], cf, gids[:1])
+    return fill_act_scales(params, jax.device_get(mut["calib"]))
+
+
 def _run_train(args, flags):
     """Training-step throughput ON ONE CHIP (VERDICT r2 next-4): so400m
     tower + projector + decoder with remat + flash fwd/bwd, grad-accum 1.
@@ -380,16 +428,21 @@ def _run_train(args, flags):
     model = HIComModel(config=cfg)
     rng = np.random.default_rng(0)
     img = cfg.vision_config.image_size
-    ids = rng.integers(5, cfg.text_config.vocab_size, (b, L))
-    ids[:, 2] = VIDEO_TOKEN_INDEX
-    labels = np.array(ids)
-    labels[:, :8] = IGNORE_INDEX
-    batch = {
-        "input_ids": jnp.asarray(ids),
-        "frames": jnp.asarray(rng.standard_normal((b, t, 3, img, img)).astype(np.float32), jnp.bfloat16),
-        "labels": jnp.asarray(labels),
-        "guide_ids": jnp.asarray(rng.integers(1, cfg.guide_text_config.vocab_size, (b, 24))),
-    }
+    requested_b = b
+
+    def make_batch(b):
+        ids = rng.integers(5, cfg.text_config.vocab_size, (b, L))
+        ids[:, 2] = VIDEO_TOKEN_INDEX
+        labels = np.array(ids)
+        labels[:, :8] = IGNORE_INDEX
+        return {
+            "input_ids": jnp.asarray(ids),
+            "frames": jnp.asarray(rng.standard_normal((b, t, 3, img, img)).astype(np.float32), jnp.bfloat16),
+            "labels": jnp.asarray(labels),
+            "guide_ids": jnp.asarray(rng.integers(1, cfg.guide_text_config.vocab_size, (b, 24))),
+        }
+
+    batch = make_batch(b)
 
     shapes = jax.eval_shape(
         lambda r: model.init(r, batch["input_ids"][:1, :8].at[0, 2].set(VIDEO_TOKEN_INDEX),
@@ -449,8 +502,26 @@ def _run_train(args, flags):
         health = relay_health()
         print(f"relay_health: {health}", file=sys.stderr)
 
-    state, metrics = step(state, batch)
-    float(metrics["loss"])  # compile + warm fetch
+    # Compile with batch auto-shrink (VERDICT r4 next-2): the 7B QLoRA step at
+    # the default b=4 compiles to ~20.1 GB on the 16 GB chip — rather than
+    # dying, halve the batch and retry (params/opt state are b-independent;
+    # only the batch is rebuilt, and a compile-time OOM raises before any
+    # donated buffer is consumed, so `state` remains valid).
+    while True:
+        try:
+            state, metrics = step(state, batch)
+            float(metrics["loss"])  # compile + warm fetch
+            break
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            oom = ("RESOURCE_EXHAUSTED" in msg or "resource_exhausted" in msg
+                   or "out of memory" in msg.lower() or "exceeds the limit" in msg)
+            if not oom or b <= 1:
+                raise
+            print(f"compile OOM at batch {b}; retrying batch {b // 2} "
+                  f"({type(e).__name__}: {msg[:160]})", file=sys.stderr)
+            b //= 2
+            batch = make_batch(b)
     for _ in range(args.sync_every):  # untimed post-compile group (relay warmup)
         state, metrics = step(state, batch)
     float(metrics["loss"])
@@ -503,6 +574,7 @@ def _run_train(args, flags):
             "mfu_pct": round(100 * achieved_tflops / ceiling, 1),
             "group_ms": [round(g * 1e3, 1) for g in group_dts],
             "tunable_parts": parts, "remat": True,
+            **({"auto_shrunk_from_batch": requested_b} if b != requested_b else {}),
             "config": ("tiny" if args.small else
                        f"so400m+qwen2.5-{args.model}"
                        + (f"-qlora{args.bits}bit" if args.bits != 16 else "")),
@@ -646,9 +718,9 @@ def int8_executed_flops(comp: dict, tower_quant: str, dec_quant: str) -> int:
         for site, key in (("mlp", "vis_mlp"), ("qkv", "vis_qkv"), ("out", "vis_out")):
             if quant_covers(base, site):
                 int8 += comp[key]
-    if dec_quant == "w8a8":
+    if dec_quant in ("w8a8", "w8a8s"):
         int8 += comp["dec_qkvo"] + comp["dec_mlp"]
-    elif dec_quant == "w8a8_mlp":
+    elif dec_quant in ("w8a8_mlp", "w8a8s_mlp"):
         int8 += comp["dec_mlp"]
     return int8
 
@@ -716,6 +788,8 @@ def _make_arm(args, tower_quant: str, dec_quant: str):
     params = random_params_like(shapes, float_dtype=jnp.bfloat16)
     if not args.small and tower_quant.startswith("w8a8s"):
         params = calibrate_static_tower(model, cfg, params, frames, gids, tower_quant)
+    if not args.small and dec_quant.startswith("w8a8s"):
+        params = calibrate_static_decoder(model, cfg, params, input_ids, frames, gids, dec_quant)
 
     def pipeline(params, input_ids, frames, gids):
         def run(m):
@@ -1034,6 +1108,14 @@ def _run(args, flags):
         # not become the stale-fallback number)
         is_default = args.model == "1.5b" and args.batch == 4 and args.frames == 32
         if not args.small and not args.no_cache and is_default and (health or {}).get("healthy"):
+            res = dict(res)
+            res["detail"] = {**res["detail"], "cache_provenance": {
+                # stamped at measurement time so a relay-down replay can
+                # report its own age (detail.stale_age_hours)
+                "run_unix": time.time(),
+                "run_date": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "relay_health": health,
+            }}
             with open(CACHE, "w") as f:
                 json.dump(res, f)
 

@@ -47,6 +47,10 @@ class HICom:
     # pruned fp16 copies of the static-quant tower's original kernels (host),
     # consumed by the first calibrate_tower for the SmoothQuant refit
     _fp_tower_kernels: Any = None
+    _dec_calibrated: bool = False
+    # same for a static-quant ("w8a8s*") decoder — consumed by the first
+    # calibrate_decoder (see load_model dec_quant)
+    _fp_dec_kernels: Any = None
 
     def shard_for_eval(self, mesh=None):
         """Replicate params over a mesh and shard subsequent batched-generate
@@ -105,6 +109,70 @@ class HICom:
                                       fp_params=fp)
         self._fp_tower_kernels = None  # refit done — free the host copy
         self._tower_calibrated = True
+
+    def calibrate_decoder(self, input_ids: np.ndarray, frames: np.ndarray,
+                          guide_ids: Optional[np.ndarray] = None,
+                          modal: str = "video") -> None:
+        """Fill a static-quant decoder's activation scales (dec_quant
+        "w8a8s*") from one calibration prefill over a representative prompt:
+        a '+calib' text-config twin runs the real pipeline (guide → visual →
+        splice → decoder) quantizing with live per-tensor absmax while sowing
+        each site's amax; fill_act_scales then writes act_scale and — where
+        the per-channel profile is heavy-tailed — SmoothQuant act_smooth
+        factors, refitting kernels from the pruned fp copies kept by
+        load_model (decoder outliers are the canonical SmoothQuant case,
+        arXiv 2211.10438). The decoder analogue of :meth:`calibrate_tower`."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from .models.hicom import HIComModel
+        from .models.quant import fill_act_scales
+
+        ccfg = dataclasses.replace(
+            self.config, text_config=dataclasses.replace(
+                self.config.text_config,
+                quantization=(self.config.text_config.quantization or "") + "+calib"))
+        cmodel = HIComModel(config=ccfg)
+        f = jnp.asarray(frames, jnp.dtype(self.config.dtype))
+        g = jnp.asarray(guide_ids) if (guide_ids is not None and self.config.guide_enabled()) else None
+        ids = jnp.asarray(input_ids)
+
+        @jax.jit
+        def calib_fn(params, ids, f, g):
+            def run(m):
+                ge = m.encode_guide(g) if g is not None else None
+                visual = m.encode_visual(f, ge, modal)
+                spliced = m.embed_and_splice(ids, visual)
+                hidden, _ = m.language_model.model(spliced.embeds, spliced.positions)
+                return jnp.sum(m.language_model.logits(hidden[:, -1:]).astype(jnp.float32))
+
+            return cmodel.apply({"params": params}, method=run, mutable=["calib"])
+
+        _, mut = calib_fn(self.params, ids, f, g)
+        fp = ({"language_model": self._fp_dec_kernels}
+              if self._fp_dec_kernels else None)
+        self.params = fill_act_scales(self.params, jax.device_get(mut["calib"]),
+                                      fp_params=fp)
+        self._fp_dec_kernels = None
+        self._dec_calibrated = True
+
+    def _maybe_autocalibrate_decoder(self, input_ids, frames, guide_ids, modal: str) -> None:
+        """Static-quant decoders ship with act_scale=1.0; calibrate once on
+        the first real multimodal prompt (mirrors _maybe_autocalibrate).
+        Must run AFTER the tower autocalibration so the visual features
+        feeding the splice already carry serving numerics."""
+        quant = getattr(self.config.text_config, "quantization", None)
+        if (self._dec_calibrated or frames is None
+                or not (isinstance(quant, str) and quant.startswith("w8a8s"))):
+            return
+        f = np.asarray(frames)
+        if f.ndim == 4:
+            f = f[None]
+        f = f[:1, : min(8, f.shape[1])]
+        g = np.asarray(guide_ids)[:1] if guide_ids is not None else None
+        self.calibrate_decoder(np.asarray(input_ids)[:1], f, guide_ids=g, modal=modal)
 
     def _maybe_autocalibrate(self, frames, guide_ids, modal: str) -> None:
         """Static-quant towers ("w8a8s*") ship with act_scale=1.0; calibrate
@@ -174,6 +242,7 @@ class HICom:
         has_frames = frames is not None or visual_embeds is not None
         if frames is not None:
             self._maybe_autocalibrate(frames, guide_ids, modal)
+            self._maybe_autocalibrate_decoder(input_ids, frames, guide_ids, modal)
 
         # auto-grow the KV cache for long prompts (e.g. 256-frame videos):
         # spliced length = L + n_sentinels*(V - 1), V from config (static) or
@@ -416,7 +485,10 @@ def load_model(
 
     ``dec_quant``: decoder serving quantization beyond the reference's
     4/8-bit flags — "int8" (weight-only, == load_8bit), "nf4" (== load_4bit),
-    "w8a8" / "w8a8_mlp" (int8 MXU prefill, models/quant.py).
+    "w8a8" / "w8a8_mlp" (int8 MXU prefill, models/quant.py), "w8a8s" /
+    "w8a8s_mlp" (static CALIBRATED activation scales; self-calibrates on the
+    first multimodal prompt seen by :meth:`HICom.generate`, or explicitly via
+    :meth:`HICom.calibrate_decoder`).
     ``load_w8a8_tower``: True for "w8a8", or a mode string such as
     "w8a8_mlp_qkv" / "w8a8s_mlp_qkv"; static "w8a8s*" modes self-calibrate
     their activation scales on the first frames seen by :meth:`HICom.generate`.
@@ -526,13 +598,25 @@ def load_model(
         params["language_model"] = apply_lora(params["language_model"], {
             k.replace("language_model/", ""): v for k, v in lora.items()
         }, alpha=alpha, rank=rank)
+    fp_dec_kernels = None
     if dec_quant:
         from .models.qwen2 import quantize_decoder_params
 
+        if dec_quant.startswith("w8a8s"):
+            # static dec modes: pruned fp16 kernel copies feed the SmoothQuant
+            # refit at the one-time calibration (decoder activations are where
+            # outlier channels live on trained transformers), then are freed
+            from .models.quant import decoder_quant_targets, prune_fp_kernels
+
+            fp_dec_kernels = prune_fp_kernels(
+                params["language_model"], dec_quant,
+                targets=decoder_quant_targets(dec_quant)) or None
         params["language_model"] = quantize_decoder_params(
             params["language_model"], mode=dec_quant)
     if scan_layers:
         params["language_model"] = W.stack_decoder_layers(params["language_model"])
+        if fp_dec_kernels:
+            fp_dec_kernels = W.stack_decoder_layers(fp_dec_kernels)
     params["vision_tower"] = W.convert_clip_vision(tower_sd) if is_clip else W.convert_siglip_vision(tower_sd)
     fp_tower_kernels = None
     if load_w8a8_tower:
@@ -583,6 +667,7 @@ def load_model(
     hicom = HICom(config=cfg, model=model, params=params, guide_tokenizer=guide_tok,
                   eos_token_id=eos, cache_len=cache_len)
     hicom._fp_tower_kernels = fp_tower_kernels  # host fp16; freed at calibration
+    hicom._fp_dec_kernels = fp_dec_kernels
     return hicom
 
 

@@ -82,11 +82,24 @@ def main(argv=None):
         import numpy as np
 
         quant = getattr(model.config.vision_config, "quantization", None) or ""
+        dec_q = getattr(model.config.text_config, "quantization", None) or ""
         if quant.startswith("w8a8s"):
             model.calibrate_tower(np.asarray(processor["video"](args.calib_video))[None])
-        else:
-            print(f"--calib-video ignored: tower quantization {quant!r} has no "
-                  "static activation scales to calibrate", file=sys.stderr)
+        if dec_q.startswith("w8a8s"):
+            # static DECODER scales calibrate on the same distinct clip, via a
+            # representative chat-template prompt (the splice is dominated by
+            # visual tokens, so per-tensor amax is prompt-insensitive)
+            from ..constants import DEFAULT_VIDEO_TOKEN
+            from ..data.prompts import tokenizer_multimodal_token
+
+            msg = [{"role": "user", "content": DEFAULT_VIDEO_TOKEN + "\nwhat is in the video ?"}]
+            prompt = tokenizer.apply_chat_template(msg, tokenize=False, add_generation_prompt=True)
+            ids = np.asarray(tokenizer_multimodal_token(
+                prompt, tokenizer, DEFAULT_VIDEO_TOKEN, return_tensors="np"))[None]
+            model.calibrate_decoder(ids, np.asarray(processor["video"](args.calib_video))[None])
+        if not quant.startswith("w8a8s") and not dec_q.startswith("w8a8s"):
+            print(f"--calib-video ignored: neither tower ({quant!r}) nor decoder "
+                  f"({dec_q!r}) has static activation scales to calibrate", file=sys.stderr)
     if args.data_parallel:
         import jax as _jax
 

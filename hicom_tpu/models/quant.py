@@ -258,20 +258,25 @@ def quantize_tower_params(vision_params: dict, mode: str = "w8a8") -> dict:
     return walk(vision_params)
 
 
-def prune_fp_kernels(vision_params: dict, mode: str) -> dict:
+def prune_fp_kernels(vision_params: dict, mode: str, targets=None) -> dict:
     """fp16 numpy copies of the kernels quantize_tower_params will convert
     under static ``mode`` — the tree feeds fill_act_scales(fp_params=...) so
     the SmoothQuant refit requantizes from fp weights instead of compounding
     on int8 codes. ~0.8GB host RAM for so400m, dropped after the one-time
-    calibration (api.py). Empty dict for dynamic modes (no refit happens)."""
+    calibration (api.py). Empty dict for dynamic modes (no refit happens).
+
+    ``targets`` overrides the site names — pass
+    :func:`decoder_quant_targets` for a "w8a8s*" DECODER tree (~3GB at 1.5B,
+    ~12GB at 7B host RAM until the first calibration)."""
     base, static, _ = parse_tower_quant(mode)
     if not static:
         return {}
     norm = base.replace("w8a8s", "w8a8")
-    targets = {
-        "w8a8_mlp": ("fc1", "fc2"),
-        "w8a8_mlp_qkv": ("fc1", "fc2", "q_proj", "k_proj", "v_proj"),
-    }.get(norm, ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2"))
+    if targets is None:
+        targets = {
+            "w8a8_mlp": ("fc1", "fc2"),
+            "w8a8_mlp_qkv": ("fc1", "fc2", "q_proj", "k_proj", "v_proj"),
+        }.get(norm, ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2"))
 
     def walk(tree, path=""):
         if not isinstance(tree, dict):
@@ -286,6 +291,15 @@ def prune_fp_kernels(vision_params: dict, mode: str) -> dict:
         return out or None
 
     return walk(vision_params) or {}
+
+
+def decoder_quant_targets(mode: str) -> tuple:
+    """Site names quantize_decoder_params converts under ``mode`` (the decoder
+    twin of the tower target tables above; models/qwen2.py)."""
+    if mode in ("w8a8_mlp", "w8a8s_mlp"):
+        return ("gate_proj", "up_proj", "down_proj")
+    return ("q_proj", "k_proj", "v_proj", "o_proj",
+            "gate_proj", "up_proj", "down_proj")
 
 
 def merge_calib(a, b):

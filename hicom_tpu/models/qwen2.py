@@ -182,10 +182,17 @@ def quantize_decoder_params(lm_params: dict, mode: str = "int8") -> dict:
     ``w8a8`` / ``w8a8_mlp`` (per-column absmax int8; the w8a8 layout is
     identical to QuantDense's, ``w8a8_mlp`` leaves attention projections fp)
     or ``nf4`` (packed codebook indices + per-64-row-group scales, the
-    reference's bnb 4-bit analogue). Embeddings, norms and lm_head stay fp."""
+    reference's bnb 4-bit analogue). Embeddings, norms and lm_head stay fp.
+
+    ``w8a8s`` / ``w8a8s_mlp``: same int8 storage as the dynamic counterpart
+    plus per-site ``act_scale`` (scalar, init 1.0) and ``act_smooth``
+    (per-input-channel SmoothQuant factors, init ones) — run a '+calib'
+    forward and ``models.quant.fill_act_scales`` before serving (the decoder
+    twin of the tower's static path; W8A8DenseS)."""
     import re as _re
 
-    target_re = (r"(gate_proj|up_proj|down_proj)$" if mode == "w8a8_mlp"
+    static = mode.startswith("w8a8s")
+    target_re = (r"(gate_proj|up_proj|down_proj)$" if mode in ("w8a8_mlp", "w8a8s_mlp")
                  else r"(q_proj|k_proj|v_proj|o_proj|gate_proj|up_proj|down_proj)$")
 
     # nearest codebook entry == searchsorted against bin midpoints (codebook is
@@ -215,6 +222,9 @@ def quantize_decoder_params(lm_params: dict, mode: str = "int8") -> dict:
                 scale = (absmax / 127.0).astype(np.float32)
                 kq = np.clip(np.round(k / scale[None, :]), -127, 127).astype(np.int8)
                 out = {"kernel_q": kq, "kernel_scale": scale}
+                if static:
+                    out["act_scale"] = np.float32(1.0)
+                    out["act_smooth"] = np.ones((k.shape[0],), np.float32)
             if "bias" in tree:
                 out["bias"] = np.asarray(tree["bias"], np.float32)
             return out
@@ -234,7 +244,8 @@ def quantize_decoder_shapes(lm_shapes: dict, mode: str = "int8") -> dict:
 
     import jax
 
-    target_re = (r"(gate_proj|up_proj|down_proj)$" if mode == "w8a8_mlp"
+    static = mode.startswith("w8a8s")
+    target_re = (r"(gate_proj|up_proj|down_proj)$" if mode in ("w8a8_mlp", "w8a8s_mlp")
                  else r"(q_proj|k_proj|v_proj|o_proj|gate_proj|up_proj|down_proj)$")
 
     def walk(tree, path=""):
@@ -249,6 +260,9 @@ def quantize_decoder_shapes(lm_shapes: dict, mode: str = "int8") -> dict:
             else:
                 out = {"kernel_q": jax.ShapeDtypeStruct((in_dim, out_dim), jnp.int8),
                        "kernel_scale": jax.ShapeDtypeStruct((out_dim,), jnp.float32)}
+                if static:
+                    out["act_scale"] = jax.ShapeDtypeStruct((), jnp.float32)
+                    out["act_smooth"] = jax.ShapeDtypeStruct((in_dim,), jnp.float32)
             if "bias" in tree:
                 out["bias"] = jax.ShapeDtypeStruct(tree["bias"].shape, jnp.float32)
             return out
@@ -635,7 +649,10 @@ class Qwen2Model(nn.Module):
             )
             scanned = nn.scan(
                 scan_target,
-                variable_axes={"params": 0},
+                # 'calib' carries per-layer sown act_amax during a static-
+                # quant ("w8a8s*+calib") calibration forward — stacked on the
+                # layer axis, matching the stacked act_scale param layout
+                variable_axes={"params": 0, "calib": 0},
                 split_rngs={"params": True},
                 in_axes=((0 if use_cache else nn.broadcast),
                          nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),

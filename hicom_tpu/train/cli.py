@@ -190,6 +190,14 @@ def main(argv=None):
 
     # ---- mesh / optimizer / state ----
     mesh = create_mesh(dp=args.dp, fsdp=args.fsdp, tp=args.tp)
+    if args.bits != 16 and args.fsdp * args.tp > 1:
+        # QLoRA trees carry no fsdp/tp sharding rules (the quantized layouts
+        # have no axis annotations); only plain data parallelism — replicated
+        # frozen params + sharded batch — is supported. Fail loudly instead
+        # of silently replicating under an fsdp/tp mesh.
+        raise SystemExit("--bits 4/8 (QLoRA) supports dp-only meshes "
+                         "(replicated quantized decoder + sharded batch); "
+                         "use bf16 LoRA/full training for fsdp/tp > 1")
     batch_size = args.per_device_train_batch_size * mesh.devices.size
     steps_per_epoch = max(1, len(dataset) // (batch_size * args.gradient_accumulation_steps))
     total_steps = int(steps_per_epoch * args.num_train_epochs)
@@ -298,11 +306,30 @@ def main(argv=None):
                 lm_host = jax.device_get(dict(base_params)["language_model"])
                 q_lm = jax.tree.map(jnp.asarray, quantize_decoder_params(lm_host, qmode))
                 qdt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-                frozen_rest = {
-                    k: jax.tree.map(
+
+                def cast_frozen(v):
+                    return jax.tree.map(
                         lambda x: x.astype(qdt) if jnp.issubdtype(x.dtype, jnp.floating) else x, v)
-                    for k, v in dict(base_params).items() if k != "language_model"}
-                frozen_params = {**frozen_rest, "language_model": q_lm}
+
+                # Cast the decoder's REMAINING fp leaves (embed_tokens, lm_head,
+                # norms, quant scales) to the compute dtype too: at 7B the
+                # untied 152k-vocab embeds+head are ~4.4 GB fp32 vs 2.2 GB
+                # bf16, and the bench/estimate size the quantized layout with
+                # bf16 floats (bench.py random_params_like float_dtype=bf16) —
+                # the real path must match that profile. The reference keeps
+                # these in torch_dtype=bf16 (bnb skips non-linear modules).
+                frozen_params = {
+                    **{k: cast_frozen(v) for k, v in dict(base_params).items()
+                       if k != "language_model"},
+                    "language_model": cast_frozen(q_lm)}
+                if mesh.devices.size > 1:
+                    # dp mesh: frozen base + adapters replicate, batches shard
+                    # (plain data parallelism; grads psum under jit)
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as _P
+
+                    frozen_params = jax.device_put(
+                        frozen_params, NamedSharding(mesh, _P()))
                 qmodel = _HM(config=_dc.replace(
                     cfg, text_config=_dc.replace(cfg.text_config, quantization=qmode)))
                 del lm_host, state, base_params  # free the fp decoder
@@ -314,7 +341,8 @@ def main(argv=None):
                 from .lora import make_qlora_loss_fn
 
                 return make_qlora_loss_fn(base_loss_fn, frozen_params,
-                                          alpha=args.lora_alpha, rank=args.lora_r)
+                                          alpha=args.lora_alpha, rank=args.lora_r,
+                                          compute_dtype=qdt)
 
             def get_lora_step_fn(batch):
                 key = (batch.get("modal", modal), bool(batch.get("multi_image", False)),

@@ -146,16 +146,19 @@ def lora_interceptor(lora: Dict[str, Dict[str, jnp.ndarray]], alpha: float = 16.
     return interceptor
 
 
-def make_qlora_loss_fn(base_loss_fn: Callable, params: Any, alpha: float = 16.0, rank: int = 8):
+def make_qlora_loss_fn(base_loss_fn: Callable, params: Any, alpha: float = 16.0, rank: int = 8,
+                       compute_dtype=jnp.bfloat16):
     """loss(lora, batch) over a FROZEN — typically quantized — base tree: the
     adapter contribution is injected per-linear by :func:`lora_interceptor`,
     never merged into kernels. Use with a model whose text config has
     ``quantization="nf4"``/``"int8"`` and ``remat=True`` for the
-    one-chip-7B memory profile."""
+    one-chip-7B memory profile. ``compute_dtype`` sets the adapter side-path
+    matmul dtype — pass fp32 for fp32 base compute so the two paths agree."""
     import flax.linen as nn
 
     def loss_fn(lora, batch):
-        with nn.intercept_methods(lora_interceptor(lora, alpha, rank)):
+        with nn.intercept_methods(
+                lora_interceptor(lora, alpha, rank, compute_dtype=compute_dtype)):
             return base_loss_fn(params, batch)
 
     return loss_fn

@@ -45,7 +45,8 @@ ARMS = os.environ.get("AB_ARMS", "none,w8a8_mlp,w8a8").split(",")
 import jax
 import jax.numpy as jnp
 
-from bench import calibrate_static_tower, random_params_like, relay_health, serving_config
+from bench import (calibrate_static_decoder, calibrate_static_tower,
+                   random_params_like, relay_health, serving_config)
 from hicom_tpu.constants import VIDEO_TOKEN_INDEX
 from hicom_tpu.models.hicom import HIComModel
 
@@ -102,6 +103,12 @@ def build_arm(arm_name, aligned=False):
         params = dict(params)
         params["vision_tower"] = jax.tree_util.tree_map(lambda x: x, params["vision_tower"])
         params = calibrate_static_tower(model, cfg, params, frames, gids, tq)
+    if dec_quant and dec_quant.startswith("w8a8s"):
+        # static-scale DECODER arm (VERDICT r4 next-1): calibrate act scales
+        # with one untimed prefill before timing
+        params = dict(params)
+        params["language_model"] = jax.tree_util.tree_map(lambda x: x, params["language_model"])
+        params = calibrate_static_decoder(model, cfg, params, input_ids, frames, gids, dec_quant)
 
     def pipeline(params, input_ids, frames, gids):
         def run(m):

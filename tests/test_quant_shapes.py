@@ -42,7 +42,7 @@ def _tiny_lm_params(in_dim=32, out_dim=48, mlp=64):
             "lm_head": dense(in_dim, 96)}
 
 
-@pytest.mark.parametrize("mode", ["int8", "nf4", "w8a8", "w8a8_mlp"])
+@pytest.mark.parametrize("mode", ["int8", "nf4", "w8a8", "w8a8_mlp", "w8a8s", "w8a8s_mlp"])
 def test_quantize_decoder_shapes_match(mode):
     params = _tiny_lm_params()
     real = quantize_decoder_params(params, mode)

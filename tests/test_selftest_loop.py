@@ -23,7 +23,8 @@ def test_closed_accuracy_loop_with_quant_parity(tmp_path):
 
     from hicom_tpu.selftest import run
 
-    out = run(str(tmp_path / "loop"), epochs=12, quant_modes=True)
+    out = run(str(tmp_path / "loop"), epochs=12, quant_modes=True,
+              outlier_sweep=True)
     assert out["n_questions"] >= 4
     # the SFT data teaches a constant answer; a working train→export→reload→
     # eval chain must beat chance decisively (a broken link scores ~25% or 0)
@@ -48,3 +49,18 @@ def test_closed_accuracy_loop_with_quant_parity(tmp_path):
         assert r["videomme_accuracy"] == fp_acc, (mode, sweep)
         assert r["token_agreement"] >= 0.97, (mode, sweep)
     assert sweep["serving_default"]["token_agreement"] >= 0.99, sweep
+    # the r5 static-decoder candidate must meet the serving bar too
+    assert sweep["serving_w8a8s_dec"]["token_agreement"] >= 0.99, sweep
+
+    # SmoothQuant fold END-TO-END on trained weights (VERDICT r4 next-7):
+    # with compensated outlier channels injected into the export, the fold
+    # must ENGAGE at calibration (act_smooth_max > 1 at >= 1 site) and the
+    # static serving modes must still meet the agreement bar vs the injected
+    # model's own fp numerics.
+    osweep = out["outlier_sweep"]
+    assert osweep["serving_default"]["act_smooth_max"] is not None
+    assert osweep["serving_default"]["act_smooth_max"] > 1.0, osweep
+    assert osweep["serving_w8a8s_dec"]["act_smooth_max"] > 1.0, osweep
+    for mode in ("serving_default", "serving_w8a8s_dec"):
+        assert osweep[mode]["videomme_accuracy"] == osweep["fp"]["videomme_accuracy"], osweep
+        assert osweep[mode]["token_agreement"] >= 0.99, osweep

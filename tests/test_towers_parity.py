@@ -289,6 +289,53 @@ def test_w8a8_decoder_prefill_modes():
         assert rel < 0.08, (mode, rel)
 
 
+def test_w8a8s_decoder_static_calibrated():
+    """Static-scale w8a8 decoder ("w8a8s"/"w8a8s_mlp", VERDICT r4 next-1):
+    quantize_decoder_params emits act_scale/act_smooth beside each int8
+    kernel (layout == model.init), a '+calib' forward sows per-site absmax,
+    fill_act_scales writes the scales, and the static forward then tracks fp
+    within int8 tolerance — same recipe as the tower's w8a8s path
+    (models/quant.py W8A8DenseS), now on the decoder's serving prefill."""
+    import dataclasses
+
+    from hicom_tpu.models.qwen2 import quantize_decoder_params
+    from hicom_tpu.models.quant import fill_act_scales
+
+    _, model, params, cfg = _build_qwen_pair(seed=13)
+    ids = np.random.default_rng(13).integers(0, 128, (1, 12))
+    positions = jnp.arange(12)[None]
+    bound = model.bind({"params": params})
+    embeds = bound.embed(jnp.asarray(ids))
+    fp_logits, _ = model.apply({"params": params}, embeds, positions)
+
+    for mode in ("w8a8s", "w8a8s_mlp"):
+        qparams = quantize_decoder_params(params, mode=mode)
+        qcfg = dataclasses.replace(cfg, quantization=mode)
+        qmodel = Qwen2ForCausalLM(config=qcfg)
+        expected = qmodel.init(
+            jax.random.PRNGKey(0), jnp.asarray(ids), positions,
+            method=lambda m, i, p: m(m.embed(i), p),
+        )["params"]
+        assert_tree_match(expected, qparams)
+        mlp0 = qparams["model"]["layers_0"]["mlp"]
+        assert float(mlp0["gate_proj"]["act_scale"]) == 1.0  # uncalibrated
+
+        # calibration twin: dynamic absmax quantization + sown amax
+        ccfg = dataclasses.replace(cfg, quantization=mode + "+calib")
+        cmodel = Qwen2ForCausalLM(config=ccfg)
+        (_, _), mut = cmodel.apply({"params": qparams}, embeds, positions,
+                                   mutable=["calib"])
+        qparams = fill_act_scales(qparams, jax.device_get(mut["calib"]))
+        assert float(qparams["model"]["layers_0"]["mlp"]["gate_proj"]["act_scale"]) != 1.0
+
+        q_logits, _ = qmodel.apply({"params": qparams}, embeds, positions)
+        np.testing.assert_array_equal(
+            np.argmax(np.asarray(fp_logits), -1), np.argmax(np.asarray(q_logits), -1))
+        rel = np.abs(np.asarray(q_logits) - np.asarray(fp_logits)).max() / (
+            np.abs(np.asarray(fp_logits)).max() + 1e-9)
+        assert rel < 0.08, (mode, rel)
+
+
 def test_scan_layers_matches_unrolled():
     """nn.scan decoder (stacked params) == unrolled decoder == HF torch."""
     import dataclasses
