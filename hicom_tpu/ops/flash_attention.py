@@ -498,6 +498,23 @@ def flash_attention(
     return out.reshape(lead + out.shape[-2:])
 
 
+def _aligned_block_q(L: int, block_q: int) -> int:
+    """Causal folded-GQA q-block choice: the largest SUBLANE-ALIGNED
+    (multiple-of-8) divisor of L that is <= block_q, else ``block_q``.
+    Aligning blocks to fold boundaries lets the diagonal skip see the true
+    per-fold block start; misaligned fallback blocks stay correct (the skip
+    is conservative) but compute extra above-diagonal tiles.
+
+    Candidates MUST be multiples of 8: Mosaic requires a block's second-minor
+    dim to be 8-divisible or equal to the array dim, and the folded array has
+    g*L rows — a divisor of L like L itself satisfies neither when L%8 != 0
+    (chip-hit at L=241: the old search started at min(block_q, L) and picked
+    c = L, failing lowering for every spliced length < block_q not divisible
+    by 8)."""
+    start = min(block_q, max(L, 8)) // 8 * 8
+    return next((c for c in range(start, 7, -8) if L % c == 0), block_q)
+
+
 def flash_attention_gqa(
     q: jnp.ndarray,  # (b, H, L, d)
     k: jnp.ndarray,  # (b, KVH, S, d)
@@ -525,12 +542,7 @@ def flash_attention_gqa(
     if scale is None:
         scale = 1.0 / (d**0.5)
     if is_causal:
-        # Align q blocks to fold boundaries so the diagonal skip sees the true
-        # per-fold block start: pick the largest sublane-aligned divisor of L
-        # <= block_q. Misaligned blocks stay correct (skip is conservative)
-        # but compute extra above-diagonal tiles.
-        block_q = next((c for c in range(min(block_q, max(L, 8)), 7, -8) if L % c == 0),
-                       block_q)
+        block_q = _aligned_block_q(L, block_q)
     q2 = q.reshape(b, KVH, g, L, d).reshape(b * KVH, g * L, d)
     k2 = k.reshape(b * KVH, S, d)
     v2 = v.reshape(b * KVH, S, d)

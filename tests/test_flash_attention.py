@@ -160,6 +160,32 @@ def test_gqa_grouped_matches_repeated():
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=3e-4, atol=3e-4, err_msg=name)
 
 
+def test_gqa_block_choice_always_lane_legal():
+    """Mosaic lowering rule (chip-hit r5 at L=241): the causal GQA q-block
+    must be a multiple of 8 (or the >=8-aligned fallback) — the folded array
+    has g*L rows, so a divisor of L like L itself is NOT lowerable when
+    L % 8 != 0. Also numeric parity at such a prime-ish L via interpret."""
+    from hicom_tpu.ops.flash_attention import _aligned_block_q, flash_attention_gqa
+
+    for L in (241, 727, 13, 100, 1446):
+        for bq in (64, 128, 256, 512):
+            c = _aligned_block_q(L, bq)
+            assert c % 8 == 0 or c == bq, (L, bq, c)
+            if c != bq:
+                assert L % c == 0 and c <= bq
+
+    rng = np.random.default_rng(11)
+    b, KVH, g, L, d = 1, 2, 3, 241, 32
+    q = jnp.asarray(rng.standard_normal((b, KVH * g, L, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, KVH, L, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, KVH, L, d)).astype(np.float32))
+    out_f = flash_attention_gqa(q, k, v, is_causal=True, block_q=256, block_k=128,
+                                interpret=True)
+    out_r = sdpa(q, jnp.repeat(k, g, axis=1), jnp.repeat(v, g, axis=1),
+                 is_causal=True, implementation="einsum")
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), rtol=2e-5, atol=2e-5)
+
+
 def test_gqa_fold_aligned_blocks():
     """L a multiple of block_q: the fold-aware diagonal skip drops blocks but
     the output still matches repeated-KV attention (fwd + bwd)."""
