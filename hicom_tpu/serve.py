@@ -132,6 +132,14 @@ class ServeEngine:
         # Plain rounds still maintain the per-slot draft history so a later
         # spec round has real context. Both modes emit the exact greedy
         # stream, so the policy is a pure scheduling choice.
+        #
+        # r5 chip validation (BENCH_SPEC15_r05 / BENCH_SPEC7B_*_r05, drip):
+        # 1.5B 1-slot spec wins 1.69x; at 7B forced spec loses at EVERY
+        # occupancy (0.87-0.99x — drafts don't land on that workload) and
+        # the EMA leg suppresses it after 3 probe rounds, capping the cost
+        # at 0.98-0.99x of plain. Enabling spec costs <= ~2% worst-case
+        # (probe rounds + in-scan history scatters) and wins 1.69x when the
+        # workload drafts well.
         self.spec_k = int(spec_k)
         self.spec_ngram = int(spec_ngram)
         self.spec_adaptive = bool(spec_adaptive)
