@@ -38,9 +38,11 @@ def build_parser():
                    help="int8-MXU serving tower (models/quant.py); static "
                         "w8a8s* modes self-calibrate on the first sample")
     p.add_argument("--dec-quant", default=None,
-                   choices=("int8", "nf4", "w8a8", "w8a8_mlp"),
+                   choices=("int8", "nf4", "w8a8", "w8a8_mlp", "w8a8s", "w8a8s_mlp"),
                    help="decoder quantization (int8/nf4 == --load-8bit/4bit; "
-                        "w8a8* runs prefill on the int8 MXU)")
+                        "w8a8* runs prefill on the int8 MXU; w8a8s* uses "
+                        "static CALIBRATED activation scales — pair with "
+                        "--calib-video)")
     p.add_argument("--device-preprocess", action="store_true",
                    help="pad+resize+normalize video frames ON DEVICE "
                         "(ops/preprocess.py): the host only decodes — the fix "

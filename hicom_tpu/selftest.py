@@ -329,6 +329,8 @@ def _inject_outlier_export(hf_export: str, out_dir: str, factor: float = 60.0,
     next-7)."""
     import shutil
 
+    import numpy as np
+
     import jax as _jax
 
     from . import weights as W
