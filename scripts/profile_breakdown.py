@@ -27,8 +27,15 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--flash", default=None, help="set HICOM_FLASH_ATTENTION")
     ap.add_argument("--decode-len", type=int, default=1024, help="cache fill for the decode-step timing")
-    ap.add_argument("--tower-quant", choices=("none", "w8a8", "w8a8_mlp"), default="none",
-                    help="profile the quantized serving tower (models/quant.py)")
+    ap.add_argument("--tower-quant", choices=("none", "w8a8", "w8a8_mlp", "w8a8_mlp_qkv",
+                                              "w8a8s", "w8a8s_mlp", "w8a8s_mlp_qkv"),
+                    default="none",
+                    help="profile the quantized serving tower (models/quant.py); "
+                         "w8a8s* arms calibrate act scales untimed first")
+    ap.add_argument("--dec-quant", choices=("none", "int8", "w8a8", "w8a8_mlp", "w8a8s"),
+                    default="none",
+                    help="decoder quantization (pass w8a8 to profile the bench "
+                         "headline's serving numerics)")
     args = ap.parse_args()
     if args.flash is not None:
         os.environ["HICOM_FLASH_ATTENTION"] = args.flash
@@ -62,6 +69,7 @@ def main():
                 vocab_size=151936, hidden_size=1536, intermediate_size=8960,
                 num_hidden_layers=28, num_attention_heads=12, num_key_value_heads=2,
                 head_dim=128, rope_theta=1000000.0,
+                quantization=None if args.dec_quant == "none" else args.dec_quant,
             ),
             vision_config=SiglipVisionConfig(
                 quantization=None if args.tower_quant == "none" else args.tower_quant),
@@ -89,9 +97,16 @@ def main():
         lambda r: model.init(r, init_ids, frames[:1, :1], guide_ids=gids[:1], modal="video")["params"],
         jax.random.PRNGKey(0),
     )
-    from bench import random_params_like
+    from bench import calibrate_static_decoder, calibrate_static_tower, random_params_like
 
-    params = random_params_like(shapes)  # dtype-aware (int8 quantized kernels)
+    # dtype-aware (int8 quantized kernels); serving profiles store floating
+    # leaves bf16 as the real load path does (api.py:568) so decode weight
+    # streaming isn't inflated by fp32 init storage
+    params = random_params_like(shapes, float_dtype=None if args.small else jnp.bfloat16)
+    if not args.small and args.tower_quant.startswith("w8a8s"):
+        params = calibrate_static_tower(model, cfg, params, frames, gids, args.tower_quant)
+    if not args.small and args.dec_quant.startswith("w8a8s"):
+        params = calibrate_static_decoder(model, cfg, params, input_ids, frames, gids, args.dec_quant)
 
     # ---- stage inputs (computed once, then timed per stage) ----
     def stage_tower(params, frames):
@@ -171,7 +186,8 @@ def main():
     total = times["vision_tower_ms"] + times["guide_encode_ms"] + times["compression_ms"] + times["splice_prefill_ms"]
     out = {
         "config": "tiny" if args.small else "so400m+qwen2.5-1.5B" + (
-            "" if args.tower_quant == "none" else f"-{args.tower_quant}tower"),
+            "" if args.tower_quant == "none" else f"-tower:{args.tower_quant}") + (
+            "" if args.dec_quant == "none" else f"-dec:{args.dec_quant}"),
         "batch": b, "frames": t, "chain": args.chain,
         "flash": os.environ.get("HICOM_FLASH_ATTENTION", "1"),
         "times_ms": {k: round(v, 3) for k, v in times.items()},
