@@ -126,6 +126,11 @@ def main():
     ap.add_argument("--model", choices=("1.5b", "7b"), default="1.5b",
                     help="decoder scale; 7b runs the flagship Qwen2.5-7B dims with int8 weight-only (bf16 7B does not fit a 16GB chip)")
     ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--modal", choices=("video", "image"), default="video",
+                    help="image: single-image prefill pipeline (T=1 local "
+                         "compression → 113 visual tokens, reference "
+                         "projector.py:536); use a larger --batch (e.g. 32) "
+                         "since one image is 1/32 the tower work of a video")
     ap.add_argument("--iters", type=int, default=16,
                     help="timed iterations (sync_every per group; the headline "
                          "is the median group so >=4 groups ride out one "
@@ -695,7 +700,9 @@ def flops_components(cfg, b: int, t: int, L: int, small: bool):
         # tower attention: qk^T + pV = 4·n²·d per layer-frame
         "vis_attn": v.num_hidden_layers * (b * t) * 4 * n ** 2 * v.hidden_size,
     }
-    Vtok = 680 if not small else 36
+    # visual tokens after compression: video local43 on t frames + 32 global;
+    # images force T=1 (reference projector.py:536) → 9·9 local + 32 global
+    Vtok = (36 if small else (113 if t == 1 else 680))
     S = L - 1 + Vtok
     comp["dec_qkvo"] = 2 * tc.num_hidden_layers * (
         tc.hidden_size * tc.head_dim * (tc.num_attention_heads + 2 * tc.num_key_value_heads)
@@ -757,6 +764,7 @@ def _make_arm(args, tower_quant: str, dec_quant: str):
     from hicom_tpu.constants import VIDEO_TOKEN_INDEX
     from hicom_tpu.models.hicom import HIComModel
 
+    modal = getattr(args, "modal", "video")
     if args.small:
         cfg = tiny_test_config(use_guide="direct", dtype="bfloat16")
         t = 4
@@ -766,23 +774,26 @@ def _make_arm(args, tower_quant: str, dec_quant: str):
         tq = None if tower_quant == "none" else tower_quant
         dq = {} if dec_quant == "none" else {"quantization": dec_quant}
         cfg = serving_config(args.model, frames=args.frames, tower_quant=tq, **dq)
-        t = args.frames
+        t = 1 if modal == "image" else args.frames
 
+    from hicom_tpu.constants import IMAGE_TOKEN_INDEX
+
+    sentinel = IMAGE_TOKEN_INDEX if modal == "image" else VIDEO_TOKEN_INDEX
     model = HIComModel(config=cfg)
     rng = np.random.default_rng(0)
     img = cfg.vision_config.image_size
     b, L = args.batch, 48
     ids = rng.integers(5, cfg.text_config.vocab_size, (b, L))
-    ids[:, 2] = VIDEO_TOKEN_INDEX
+    ids[:, 2] = sentinel
     input_ids = jnp.asarray(ids)
     frames = jnp.asarray(rng.standard_normal((b, t, 3, img, img)).astype(np.float32), dtype=jnp.bfloat16)
     gids = jnp.asarray(rng.integers(1, cfg.guide_text_config.vocab_size, (b, 24)))
 
     # Random bf16 params straight from eval_shape: avoids materializing the
     # fp32 init tree (2B params would be 8GB on a 16GB chip).
-    init_ids = input_ids[:1, :8].at[0, 2].set(VIDEO_TOKEN_INDEX)
+    init_ids = input_ids[:1, :8].at[0, 2].set(sentinel)
     shapes = jax.eval_shape(
-        lambda r: model.init(r, init_ids, frames[:1, :1], guide_ids=gids[:1], modal="video")["params"],
+        lambda r: model.init(r, init_ids, frames[:1, :1], guide_ids=gids[:1], modal=modal)["params"],
         jax.random.PRNGKey(0),
     )
     params = random_params_like(shapes, float_dtype=jnp.bfloat16)
@@ -794,7 +805,7 @@ def _make_arm(args, tower_quant: str, dec_quant: str):
     def pipeline(params, input_ids, frames, gids):
         def run(m):
             ge = m.encode_guide(gids)
-            visual = m.encode_visual(frames, ge, "video")
+            visual = m.encode_visual(frames, ge, modal)
             spliced = m.embed_and_splice(input_ids, visual)
             # prompts are unpadded → mask-free causal prefill (flash-eligible)
             hidden, _ = m.language_model.model(spliced.embeds, spliced.positions)
@@ -1071,9 +1082,11 @@ def _run(args, flags):
         bf16_detail = {"vs_baseline_bf16": round(vs_baseline, 3)}
 
     result = {
-        "metric": "video_frames_per_sec_per_chip_e2e_prefill",
+        "metric": ("image_samples_per_sec_per_chip_e2e_prefill"
+                   if args.modal == "image" else
+                   "video_frames_per_sec_per_chip_e2e_prefill"),
         "value": round(frames_per_sec, 2),
-        "unit": "frames/s",
+        "unit": "images/s" if args.modal == "image" else "frames/s",
         "vs_baseline": round(vs_baseline, 3),
         "detail": {
             "ttft_ms_per_video": round(dt / b * 1e3, 2),
@@ -1095,7 +1108,8 @@ def _run(args, flags):
             "config": "tiny" if args.small else (
                 ("so400m+qwen2.5-7B-int8" if args.model == "7b" else "so400m+qwen2.5-1.5B")
                 + (f"-tower:{args.tower_quant}" if args.tower_quant != "none" else "")
-                + (f"-dec:{args.dec_quant}" if args.dec_quant != "none" else "")),
+                + (f"-dec:{args.dec_quant}" if args.dec_quant != "none" else "")
+                + ("-image" if args.modal == "image" else "")),
             "baseline_model": "analytic A100 bf16 roofline @45% MFU, same computation (derivation: BASELINE.md §baseline-derivation)",
             **({"relay_health": headline_health or health} if health else {}),
             **({"fallback_flags": flags} if flags else {}),
@@ -1106,7 +1120,8 @@ def _run(args, flags):
         # only the default headline config may write the relay-down fallback
         # cache, and only from a healthy window (a throttled measurement must
         # not become the stale-fallback number)
-        is_default = args.model == "1.5b" and args.batch == 4 and args.frames == 32
+        is_default = (args.model == "1.5b" and args.batch == 4
+                      and args.frames == 32 and args.modal == "video")
         if not args.small and not args.no_cache and is_default and (health or {}).get("healthy"):
             res = dict(res)
             res["detail"] = {**res["detail"], "cache_provenance": {
