@@ -700,9 +700,10 @@ def flops_components(cfg, b: int, t: int, L: int, small: bool):
         # tower attention: qk^T + pV = 4·n²·d per layer-frame
         "vis_attn": v.num_hidden_layers * (b * t) * 4 * n ** 2 * v.hidden_size,
     }
-    # visual tokens after compression: video local43 on t frames + 32 global;
-    # images force T=1 (reference projector.py:536) → 9·9 local + 32 global
-    Vtok = (36 if small else (113 if t == 1 else 680))
+    # visual tokens after compression: local43 = ceil(t/4)·9·9 (images hit
+    # this with t=1, reference projector.py:536) + 32 global → 113 @ t=1,
+    # 680 @ t=32, 1328 @ t=64
+    Vtok = 36 if small else (-(-t // 4) * 81 + 32)
     S = L - 1 + Vtok
     comp["dec_qkvo"] = 2 * tc.num_hidden_layers * (
         tc.hidden_size * tc.head_dim * (tc.num_attention_heads + 2 * tc.num_key_value_heads)
