@@ -605,7 +605,18 @@ def _run_decode(args, flags):
     from hicom_tpu.profiling import device_time
 
     cache_len = 1024
-    cfg = serving_config(args.model, frames=args.frames, kv_cache_int8=args.kv_int8)
+    if args.small:
+        # CPU sanity of the mode (the full-size decode table is chip work)
+        from hicom_tpu.config import tiny_test_config
+
+        import dataclasses as _dc
+
+        cfg = tiny_test_config(use_guide="direct", dtype="bfloat16")
+        cfg = cfg.replace(text_config=_dc.replace(
+            cfg.text_config, kv_cache_int8=args.kv_int8))
+        cache_len = 128
+    else:
+        cfg = serving_config(args.model, frames=args.frames, kv_cache_int8=args.kv_int8)
     model = HIComModel(config=cfg)
     tc = cfg.text_config
     rng = np.random.default_rng(0)
@@ -665,7 +676,9 @@ def _run_decode(args, flags):
         "vs_baseline": round(rows[0]["tok_per_s"] / floor_tok_s, 3),
         "detail": {
             "table": rows, "cache_len": cache_len, "kv_int8": bool(args.kv_int8),
-            "config": "so400m+qwen2.5-7B-int8" if args.model == "7b" else "so400m+qwen2.5-1.5B",
+            "config": ("tiny" if args.small else
+                       "so400m+qwen2.5-7B-int8" if args.model == "7b" else
+                       "so400m+qwen2.5-1.5B"),
             "baseline_model": "weight-streaming floor (decoder bytes / 159 GB/s measured HBM)",
             "relay_health": health,
             **({"fallback_flags": flags} if flags else {}),
