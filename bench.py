@@ -10,11 +10,14 @@ identical computation (bf16 roofline at 45% MFU — generous to the reference,
 which runs eval at batch 1 with Python-loop projectors; see BASELINE.md).
 
 Default batch is 4 videos/step — the batched-serving configuration this
-framework adds over the reference (which evals at batch 1); measured sweep on
-a healthy chip: b=1 120.7 / b=2 131.8 / b=4 143.6 frames/s (bf16 tower).
-``--batch 1`` reproduces the reference's serving shape. Default quantization
-(int8-MXU tower MLP+QKV and w8a8 decoder prefill) measured 177.5 f/s at b=4
-in an interleaved A/B (scripts/tower_quant_ab.py, 2026-08-18 window).
+framework adds over the reference (which evals at batch 1); ``--batch 1``
+reproduces the reference's serving shape. The default serving numerics
+(static-calibrated int8-MXU tower MLP+QKV, w8a8 decoder prefill) measure
+**194-195 f/s** in healthy windows (BENCH_DEFAULT_r05.json; the chip is
+compute-saturated at b=4 — b=8 measured neutral, BENCH_BATCH8_r05.json).
+``--modal image`` benches the single-image pipeline; ``--frames 64`` the
+beyond-reference long-video shape; ``--decode`` / ``--train`` /
+``--from-disk`` the serving-step, train-step and ingest-inclusive modes.
 
 Run: python bench.py            (full size: so400m + Qwen2.5-1.5B decoder)
      python bench.py --small    (CI-sized sanity run)
