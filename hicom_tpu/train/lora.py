@@ -180,8 +180,11 @@ def estimate_qlora_memory(text_config, bits: int = 4, rank: int = 64,
     embed_params = tc.vocab_size * d * (1 if tc.tie_word_embeddings else 2)
 
     wbytes = linear_params * (0.5 if bits == 4 else 1)
+    # scale accounting is CONSERVATIVE (f32): the real path stores quant
+    # scales in the compute dtype (cli.py cast_frozen — bf16 halves this
+    # term), so the estimate upper-bounds actual HBM
     if bits == 4:
-        wbytes += linear_params / 64 * 4  # per-64-group f32 scales
+        wbytes += linear_params / 64 * 4  # per-64-group scales
     else:
         wbytes += tc.num_hidden_layers * (q + 2 * kv + d + 3 * ff) * 4  # per-col scales
     n_targets = tc.num_hidden_layers * 7
