@@ -759,6 +759,29 @@ def matched_mfu_pct(total_flops: int, int8_flops: int, dt: float,
     return 100.0 * ideal / dt
 
 
+# measured full-block flash rate of the tower's d=72 attention (TODO.md r2
+# chip A/B: 5.61 ms/layer-batch = 0.314 TFLOP → ~56 TFLOP/s; the 72→128 MXU
+# lane pad bounds it near 56% of the bf16 ceiling).
+VIS_ATTN_TFLOPS = 56.0
+
+
+def vs_baseline_cap(comp: dict, int8_flops: int,
+                    bf16_ceiling_tflops: float) -> float:
+    """Attention-adjusted roofline cap on ``vs_baseline`` for one arm: the
+    analytic A100 time divided by this chip's ideal time with int8 sites at
+    the raw int8-chain ceiling (~199.5 TOPS), the tower's d=72 attention at
+    its measured full-block flash rate (~56 TFLOP/s), and the remaining bf16
+    sites at the bf16 chain ceiling. The chain ceilings carry no quantize /
+    rescale / softmax epilogues, so the cap is optimistic by construction;
+    BASELINE.md §int8-roofline interprets measured/cap per model scale."""
+    tot = sum(comp.values())
+    vis_attn = comp.get("vis_attn", 0)
+    ideal = (int8_flops / (INT8_CEILING_TOPS * 1e12)
+             + vis_attn / (VIS_ATTN_TFLOPS * 1e12)
+             + (tot - int8_flops - vis_attn) / (bf16_ceiling_tflops * 1e12))
+    return (tot / (312e12 * 0.45)) / ideal
+
+
 def _budget_left(args, default: float = 1200.0) -> float:
     """Seconds left of the driver budget (HICOM_BENCH_BUDGET, default 20 min):
     the secondary bf16 arm is skipped when exhausted — the headline JSON line
@@ -1092,6 +1115,7 @@ def _run(args, flags):
     # measured sustained bf16 ceiling of this chip; the live health figure
     # supersedes it when higher
     ceiling = max(BF16_CEILING_TFLOPS, (health or {}).get("tflops", 0.0))
+    cap = vs_baseline_cap(comp, int8_flops, ceiling)
 
     bf16_detail = {}
     if (args.tower_quant, args.dec_quant) == ("none", fp_dec):
@@ -1118,6 +1142,11 @@ def _run(args, flags):
             # ceiling (can exceed 100 for quantized arms)
             "mfu_pct_vs_bf16_ceiling": round(100 * achieved_tflops / ceiling, 1),
             "int8_flop_frac": round(int8_flops / flops, 3),
+            # attention-adjusted roofline cap for THIS arm's numerics and the
+            # fraction of it achieved (BASELINE.md §int8-roofline): headroom
+            # self-description, so a reader can tell "slow run" from "at cap"
+            "vs_baseline_cap": round(cap, 3),
+            "pct_of_cap": round(100 * vs_baseline / cap, 1),
             "best_frames_per_sec": round(b * t / best_dt, 2),
             "mean_frames_per_sec": round(b * t / mean_dt, 2),
             "group_ms": [round(g * 1e3, 1) for g in group_dts],
@@ -1177,6 +1206,12 @@ def _run(args, flags):
         # rides on (BASELINE.md §baseline-derivation)
         "bf16_frames_per_sec": round(bf16_fps, 2),
         "vs_baseline_bf16": round(bf16_fps / a100_frames_per_sec, 3),
+        # the bf16 arm's own attention-adjusted cap (≈0.83 @1.5B / 0.85 @7B —
+        # BASELINE.md §bf16-roofline) and fraction achieved
+        "vs_baseline_bf16_cap": round(vs_baseline_cap(comp, 0, ceiling), 3),
+        "bf16_pct_of_cap": round(
+            100 * (bf16_fps / a100_frames_per_sec)
+            / vs_baseline_cap(comp, 0, ceiling), 1),
         "bf16_mfu_pct": round(100 * (flops / bdt / 1e12) / ceiling, 1),
         "bf16_group_ms": [round(g * 1e3, 1) for g in bdts],
         "bf16_relay_health": bf16_health,
